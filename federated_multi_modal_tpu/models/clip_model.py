@@ -1,0 +1,218 @@
+"""Functional CLIP encoders with generalized deep prompt injection.
+
+One parameterized implementation replaces the reference's three block
+variants (``ResidualAttentionBlock{,_IVLP,_MaPLe}``, ``clip/model.py:
+167-352``): every method (CoOp/CoCoOp = no injection, VPT/IVLP = per-layer
+learned prompts, MaPLe = externally supplied coupled prompts) is expressed
+by the ``deep_prompts`` / ``shallow_prompts`` arguments.  Injection is
+*replacement*, never growth (``clip/model.py:320-349``):
+
+* vision: the last ``n_ctx`` tokens are replaced at layers ``1..K``
+* text: tokens ``[1 : 1+n_ctx]`` are replaced at layers ``1..K``
+
+All shapes are static — sequence length is fixed at trace time, so XLA
+compiles one program per configuration and everything lands on the MXU.
+
+Caption conditioning (MaPLe fork feature): one pooled-and-projected caption
+token per image is appended to the vision sequence and re-injected at every
+prompted layer.  **Documented deviation** from the reference, which creates
+*untrained random* pooling/projection modules on every forward and appends
+``batch_size`` caption tokens shared across the whole batch
+(``clip/model.py:550-561``); here the pooling vector and projection are
+trained parameters and conditioning is per-sample.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from federated_multi_modal_tpu.models.params import CLIPConfig
+from federated_multi_modal_tpu.ops.primitives import (
+    build_causal_mask,
+    layer_norm,
+    linear,
+    residual_block,
+)
+
+
+# --------------------------------------------------------------------------
+# vision tower
+# --------------------------------------------------------------------------
+
+
+def patchify(params_visual, cfg: CLIPConfig, images: jax.Array) -> jax.Array:
+    """Patch embedding as a single matmul (conv1 with stride=patch is an
+    img2col matmul — the MXU-native formulation of ``clip/model.py:427``).
+
+    Args:
+        images: ``(B, H, W, 3)`` in the compute dtype.
+    Returns:
+        ``(B, grid^2, width)``.
+    """
+    B = images.shape[0]
+    P = cfg.vision_patch_size
+    g = cfg.grid_size
+    x = images.reshape(B, g, P, g, P, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, P * P * 3)
+    return linear(x, params_visual["conv1"]["w"])
+
+
+def _broadcast_prompt(p: jax.Array, batch: int, dtype) -> jax.Array:
+    """(n_ctx, d) or (B, n_ctx, d) -> (B, n_ctx, d)."""
+    p = p.astype(dtype)
+    if p.ndim == 2:
+        p = jnp.broadcast_to(p[None], (batch,) + p.shape)
+    return p
+
+
+def encode_image(
+    params,
+    cfg: CLIPConfig,
+    images: jax.Array,
+    shallow_prompts: Optional[jax.Array] = None,
+    deep_prompts: Optional[Sequence[jax.Array]] = None,
+    extra_tokens: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Vision transformer forward with optional prompt injection.
+
+    Args:
+        params: the ``visual`` subtree.
+        images: ``(B, H, W, 3)``.
+        shallow_prompts: ``(n_ctx, width)`` or ``(B, n_ctx, width)`` tokens
+            appended after the positional embedding (VPT shallow /
+            MaPLe ``shared_ctx``; ``clip/model.py:437-441, 536-538``).
+        deep_prompts: per-layer prompts for layers ``1..len(deep_prompts)``;
+            each ``(n_ctx, width)``.  Layer ``i`` replaces the trailing
+            prompt tokens with ``deep_prompts[i-1]``.
+        extra_tokens: ``(B, k, width)`` per-sample conditioning tokens
+            (caption embeddings), appended after the shallow prompts and
+            re-injected alongside every deep prompt.
+
+    Returns:
+        ``(B, embed_dim)`` image features (pre-normalization), fp32.
+    """
+    dtype = params["conv1"]["w"].dtype
+    x = patchify(params, cfg, images.astype(dtype))
+    B = x.shape[0]
+    w = cfg.vision_width
+
+    cls = params["class_embedding"].astype(dtype)
+    cls = jnp.broadcast_to(cls[None, None, :], (B, 1, w))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(dtype)[None]
+
+    n_ctx = 0
+    if shallow_prompts is not None:
+        sp = _broadcast_prompt(shallow_prompts, B, dtype)
+        n_ctx = sp.shape[1]
+        x = jnp.concatenate([x, sp], axis=1)
+
+    n_extra = 0
+    if extra_tokens is not None:
+        et = extra_tokens.astype(dtype)
+        n_extra = et.shape[1]
+        x = jnp.concatenate([x, et], axis=1)
+
+    x = layer_norm(x, params["ln_pre"])
+
+    n_tail = n_ctx + n_extra
+    deep_prompts = deep_prompts or []
+    for i, blk in enumerate(params["blocks"]):
+        if 1 <= i <= len(deep_prompts):
+            p = _broadcast_prompt(deep_prompts[i - 1], B, dtype)
+            tail = [p]
+            if extra_tokens is not None:
+                tail.append(extra_tokens.astype(dtype))
+            x = jnp.concatenate([x[:, : x.shape[1] - n_tail]] + tail, axis=1)
+        x = residual_block(x, blk, cfg.vision_heads)
+
+    pooled = layer_norm(x[:, 0, :], params["ln_post"])
+    feats = jnp.matmul(
+        pooled, params["proj"].astype(dtype), preferred_element_type=jnp.float32
+    )
+    return feats.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# text tower
+# --------------------------------------------------------------------------
+
+
+def embed_tokens(params_text, tokens: jax.Array) -> jax.Array:
+    """Token-id lookup -> ``(N, T, d)`` embeddings (frozen
+    ``token_embedding``)."""
+    return jnp.take(params_text["token_embedding"], tokens, axis=0)
+
+
+def encode_text_embedded(
+    params,
+    cfg: CLIPConfig,
+    prompts: jax.Array,
+    eot_index: jax.Array,
+    deep_prompts: Optional[Sequence[jax.Array]] = None,
+) -> jax.Array:
+    """Text transformer over pre-assembled prompt embeddings.
+
+    Equivalent of the method trainers' ``TextEncoder`` wrapper
+    (``trainers/maple.py:43-79``): add positional embedding, run the causal
+    transformer with optional deep prompt injection, LayerNorm, pool at the
+    EOT position, project.
+
+    Args:
+        prompts: ``(N, 77, d)`` embeddings (SOS + ctx + class + EOS + pad).
+        eot_index: ``(N,)`` int positions of the EOT token
+            (``tokenized.argmax(-1)`` in the reference).
+    """
+    dtype = params["text_projection"].dtype
+    x = prompts.astype(dtype) + params["positional_embedding"].astype(dtype)[None]
+    mask = build_causal_mask(x.shape[1])
+
+    deep_prompts = deep_prompts or []
+    N = x.shape[0]
+    for i, blk in enumerate(params["blocks"]):
+        if 1 <= i <= len(deep_prompts):
+            p = _broadcast_prompt(deep_prompts[i - 1], N, dtype)
+            n_ctx = p.shape[1]
+            x = jnp.concatenate([x[:, :1], p, x[:, 1 + n_ctx :]], axis=1)
+        x = residual_block(x, blk, cfg.transformer_heads, mask)
+
+    x = layer_norm(x, params["ln_final"])
+    pooled = jnp.take_along_axis(x, eot_index[:, None, None], axis=1)[:, 0]
+    feats = jnp.matmul(
+        pooled,
+        params["text_projection"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return feats.astype(jnp.float32)
+
+
+def encode_text_tokens(params, cfg: CLIPConfig, tokens: jax.Array) -> jax.Array:
+    """Plain CLIP ``encode_text`` over token ids (zero-shot path,
+    reference ``clip/model.py:694-707``)."""
+    x = embed_tokens(params, tokens)
+    eot = jnp.argmax(tokens, axis=-1)
+    return encode_text_embedded(params, cfg, x, eot)
+
+
+# --------------------------------------------------------------------------
+# similarity head
+# --------------------------------------------------------------------------
+
+
+def cosine_logits(
+    image_features: jax.Array,
+    text_features: jax.Array,
+    logit_scale: jax.Array,
+    max_scale: float = 100.0,
+) -> jax.Array:
+    """``clamp(exp(logit_scale)) * norm(img) @ norm(txt)^T`` in fp32
+    (reference ``trainers/maple.py:325, 340-346``)."""
+    from federated_multi_modal_tpu.ops.primitives import l2_normalize
+
+    img = l2_normalize(image_features)
+    txt = l2_normalize(text_features)
+    scale = jnp.clip(jnp.exp(logit_scale.astype(jnp.float32)), None, max_scale)
+    return scale * jnp.matmul(img, txt.T, preferred_element_type=jnp.float32)

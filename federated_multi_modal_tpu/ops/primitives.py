@@ -1,0 +1,116 @@
+"""Core compute primitives for the CLIP transformer stacks.
+
+TPU-first rebuild of the reference's torch op layer (``clip/model.py``):
+
+* ``layer_norm`` — always computed in fp32 and cast back, mirroring the
+  fp16-safe LayerNorm subclass at ``clip/model.py:153-159``.
+* ``quick_gelu`` — ``x * sigmoid(1.702 x)`` (``clip/model.py:162-164``).
+* ``multi_head_attention`` — one fused QKV projection + fp32 softmax.
+  Sequences here are tiny (77 text / 199 vision tokens), so attention is
+  compute-bound on the MXU, not memory-bound; XLA fuses the softmax chain.
+* ``mlp`` — c_fc -> QuickGELU -> c_proj.
+
+All functions are pure: ``(params_subtree, activations) -> activations`` on
+``(batch, tokens, dim)`` arrays (no torch-style LND permutes).  Weights are
+stored input-major (``(d_in, d_out)``), i.e. transposed relative to torch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def layer_norm(x: jax.Array, p, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis, fp32 math, output in input dtype."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def linear(x: jax.Array, w: jax.Array, b: jax.Array = None) -> jax.Array:
+    y = jnp.matmul(x, w.astype(x.dtype))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def multi_head_attention(
+    x: jax.Array,
+    p,
+    n_head: int,
+    attn_mask: jax.Array = None,
+) -> jax.Array:
+    """Self-attention with packed QKV (torch ``nn.MultiheadAttention`` math).
+
+    Args:
+        x: ``(B, T, D)`` activations.
+        p: dict with ``w_qkv (D, 3D)``, ``b_qkv (3D,)``, ``w_out (D, D)``,
+           ``b_out (D,)``.
+        n_head: number of attention heads.
+        attn_mask: optional additive mask ``(T, T)`` (causal for text).
+    """
+    B, T, D = x.shape
+    head_dim = D // n_head
+
+    qkv = linear(x, p["w_qkv"], p["b_qkv"])  # (B, T, 3D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):  # (B, T, D) -> (B, H, T, hd)
+        return t.reshape(B, T, n_head, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    # fp32 accumulation for the score matmul and softmax
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if attn_mask is not None:
+        scores = scores + attn_mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+    return linear(out, p["w_out"], p["b_out"])
+
+
+def mlp(x: jax.Array, p) -> jax.Array:
+    h = quick_gelu(linear(x, p["w_fc"], p["b_fc"]))
+    return linear(h, p["w_proj"], p["b_proj"])
+
+
+def residual_block(
+    x: jax.Array,
+    p,
+    n_head: int,
+    attn_mask: jax.Array = None,
+) -> jax.Array:
+    """Pre-LN transformer block (``ResidualAttentionBlock`` semantics,
+    reference ``clip/model.py:167-198``)."""
+    x = x + multi_head_attention(layer_norm(x, p["ln_1"]), p["attn"], n_head, attn_mask)
+    x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
+    return x
+
+
+def build_causal_mask(context_length: int) -> jnp.ndarray:
+    """Additive causal mask (reference ``CLIP.build_attention_mask``,
+    ``clip/model.py:679-685``)."""
+    mask = jnp.full((context_length, context_length), -jnp.inf, jnp.float32)
+    return jnp.triu(mask, k=1)
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
+    """fp32 L2 normalization (reference ``F.normalize(..., eps=1e-8)``,
+    ``trainers/maple.py:340-341``)."""
+    x32 = x.astype(jnp.float32)
+    norm = jnp.linalg.norm(x32, axis=axis, keepdims=True)
+    return x32 / jnp.maximum(norm, eps)

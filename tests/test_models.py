@@ -1,0 +1,259 @@
+"""CLIP encoder tests: shapes, prompt-injection semantics, checkpoint
+conversion parity against a torch reimplementation of the CLIP text tower."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from federated_multi_modal_tpu.models import (
+    CLIPConfig,
+    convert_torch_state_dict,
+    cosine_logits,
+    embed_tokens,
+    encode_image,
+    encode_text_embedded,
+    encode_text_tokens,
+    infer_config_from_state_dict,
+    init_clip_params,
+    tiny_test_config,
+)
+from federated_multi_modal_tpu.tokenizer import tokenize
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_test_config()
+    params = init_clip_params(cfg, jax.random.PRNGKey(1), dtype_policy=False)
+    return cfg, params
+
+
+def test_encode_image_shape(tiny):
+    cfg, params = tiny
+    imgs = np.random.default_rng(0).standard_normal(
+        (2, cfg.image_resolution, cfg.image_resolution, 3)
+    ).astype(np.float32)
+    feats = encode_image(params["visual"], cfg, jnp.asarray(imgs))
+    assert feats.shape == (2, cfg.embed_dim)
+    assert feats.dtype == jnp.float32
+
+
+def test_encode_image_with_prompts(tiny):
+    cfg, params = tiny
+    rng = np.random.default_rng(1)
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    shallow = rng.standard_normal((2, cfg.vision_width)).astype(np.float32)
+    deep = [
+        rng.standard_normal((2, cfg.vision_width)).astype(np.float32)
+        for _ in range(cfg.vision_layers - 1)
+    ]
+    cap = rng.standard_normal((2, 1, cfg.vision_width)).astype(np.float32)
+    feats = encode_image(
+        params["visual"], cfg, jnp.asarray(imgs),
+        shallow_prompts=jnp.asarray(shallow),
+        deep_prompts=[jnp.asarray(d) for d in deep],
+        extra_tokens=jnp.asarray(cap),
+    )
+    assert feats.shape == (2, cfg.embed_dim)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_deep_prompt_injection_changes_output(tiny):
+    cfg, params = tiny
+    rng = np.random.default_rng(2)
+    imgs = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    shallow = rng.standard_normal((2, cfg.vision_width)).astype(np.float32)
+    base = encode_image(
+        params["visual"], cfg, jnp.asarray(imgs), shallow_prompts=jnp.asarray(shallow)
+    )
+    deep = [np.full((2, cfg.vision_width), 3.0, np.float32)]
+    changed = encode_image(
+        params["visual"], cfg, jnp.asarray(imgs),
+        shallow_prompts=jnp.asarray(shallow),
+        deep_prompts=[jnp.asarray(deep[0])],
+    )
+    assert not np.allclose(np.asarray(base), np.asarray(changed))
+
+
+def test_text_causal_mask_padding_invariance(tiny):
+    """Tokens after EOT are causally masked out of the pooled feature:
+    corrupting the padding slots must not change encode_text output."""
+    cfg, params = tiny
+    tokens = jnp.asarray(tokenize(["a photo of a cat."]))
+    x = embed_tokens(params["text"], tokens)
+    eot = jnp.argmax(tokens, axis=-1)
+    base = encode_text_embedded(params["text"], cfg, x, eot)
+
+    eot_pos = int(np.asarray(eot)[0])
+    x_corrupt = np.asarray(x).copy()
+    x_corrupt[:, eot_pos + 1 :, :] += 7.0
+    out = encode_text_embedded(params["text"], cfg, jnp.asarray(x_corrupt), eot)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out), atol=1e-5)
+
+
+def test_text_deep_prompt_injection_changes_output(tiny):
+    """Deep text prompts replace slots [1:1+n_ctx]; different prompt values
+    at layer 1 must change the pooled feature."""
+    cfg, params = tiny
+    tokens = jnp.asarray(tokenize(["a photo of a cat."]))
+    x = embed_tokens(params["text"], tokens)
+    eot = jnp.argmax(tokens, axis=-1)
+    d = cfg.transformer_width
+    rng = np.random.default_rng(7)
+    p1 = [np.zeros((2, d), np.float32)]
+    p2 = [rng.standard_normal((2, d)).astype(np.float32) * 20.0]
+    out1 = encode_text_embedded(params["text"], cfg, x, eot, deep_prompts=p1)
+    out2 = encode_text_embedded(params["text"], cfg, x, eot, deep_prompts=p2)
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-3
+
+
+def test_cosine_logits_scale_clamp(tiny):
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal((4, 16)).astype(np.float32)
+    txt = rng.standard_normal((7, 16)).astype(np.float32)
+    logits = cosine_logits(jnp.asarray(img), jnp.asarray(txt), jnp.asarray(10.0))
+    assert logits.shape == (4, 7)
+    # exp(10) >> 100 so the clamp caps magnitudes at 100
+    assert np.abs(np.asarray(logits)).max() <= 100.0 + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# torch text-tower parity: build a small torch CLIP text encoder, export its
+# state dict in OpenAI naming, convert, compare encode_text outputs.
+# ---------------------------------------------------------------------------
+
+
+class _TorchTextCLIP(nn.Module):
+    def __init__(self, vocab, width, layers, heads, ctx_len, embed_dim):
+        super().__init__()
+        self.token_embedding = nn.Embedding(vocab, width)
+        self.positional_embedding = nn.Parameter(torch.randn(ctx_len, width) * 0.01)
+        self.blocks = nn.ModuleList()
+        for _ in range(layers):
+            blk = nn.ModuleDict(
+                {
+                    "attn": nn.MultiheadAttention(width, heads, batch_first=True),
+                    "ln_1": nn.LayerNorm(width),
+                    "c_fc": nn.Linear(width, width * 4),
+                    "c_proj": nn.Linear(width * 4, width),
+                    "ln_2": nn.LayerNorm(width),
+                }
+            )
+            self.blocks.append(blk)
+        self.ln_final = nn.LayerNorm(width)
+        self.text_projection = nn.Parameter(torch.randn(width, embed_dim) * width ** -0.5)
+        self.logit_scale = nn.Parameter(torch.tensor(float(np.log(1 / 0.07))))
+        mask = torch.full((ctx_len, ctx_len), float("-inf")).triu(1)
+        self.register_buffer("mask", mask, persistent=False)
+
+    def forward(self, tokens):
+        x = self.token_embedding(tokens)
+        x = x + self.positional_embedding
+        for blk in self.blocks:
+            h = blk["ln_1"](x)
+            a, _ = blk["attn"](h, h, h, attn_mask=self.mask, need_weights=False)
+            x = x + a
+            h = blk["ln_2"](x)
+            h = blk["c_fc"](h)
+            h = h * torch.sigmoid(1.702 * h)
+            x = x + blk["c_proj"](h)
+        x = self.ln_final(x)
+        pooled = x[torch.arange(x.shape[0]), tokens.argmax(dim=-1)]
+        return pooled @ self.text_projection
+
+    def openai_state_dict(self, vision_cfg: CLIPConfig):
+        """Export under OpenAI CLIP key names (plus a matching ViT vision
+        tower of random weights so shape inference works)."""
+        sd = {}
+        sd["token_embedding.weight"] = self.token_embedding.weight
+        sd["positional_embedding"] = self.positional_embedding
+        for i, blk in enumerate(self.blocks):
+            pre = f"transformer.resblocks.{i}"
+            sd[f"{pre}.attn.in_proj_weight"] = blk["attn"].in_proj_weight
+            sd[f"{pre}.attn.in_proj_bias"] = blk["attn"].in_proj_bias
+            sd[f"{pre}.attn.out_proj.weight"] = blk["attn"].out_proj.weight
+            sd[f"{pre}.attn.out_proj.bias"] = blk["attn"].out_proj.bias
+            sd[f"{pre}.ln_1.weight"] = blk["ln_1"].weight
+            sd[f"{pre}.ln_1.bias"] = blk["ln_1"].bias
+            sd[f"{pre}.ln_2.weight"] = blk["ln_2"].weight
+            sd[f"{pre}.ln_2.bias"] = blk["ln_2"].bias
+            sd[f"{pre}.mlp.c_fc.weight"] = blk["c_fc"].weight
+            sd[f"{pre}.mlp.c_fc.bias"] = blk["c_fc"].bias
+            sd[f"{pre}.mlp.c_proj.weight"] = blk["c_proj"].weight
+            sd[f"{pre}.mlp.c_proj.bias"] = blk["c_proj"].bias
+        sd["ln_final.weight"] = self.ln_final.weight
+        sd["ln_final.bias"] = self.ln_final.bias
+        sd["text_projection"] = self.text_projection
+        sd["logit_scale"] = self.logit_scale
+
+        # matching random vision tower
+        v = vision_cfg
+        width = v.vision_width
+        sd["visual.conv1.weight"] = torch.randn(width, 3, v.vision_patch_size,
+                                                v.vision_patch_size) * 0.02
+        sd["visual.class_embedding"] = torch.randn(width) * 0.02
+        sd["visual.positional_embedding"] = torch.randn(v.num_patches + 1, width) * 0.02
+        sd["visual.ln_pre.weight"] = torch.ones(width)
+        sd["visual.ln_pre.bias"] = torch.zeros(width)
+        for i in range(v.vision_layers):
+            pre = f"visual.transformer.resblocks.{i}"
+            sd[f"{pre}.attn.in_proj_weight"] = torch.randn(3 * width, width) * 0.02
+            sd[f"{pre}.attn.in_proj_bias"] = torch.zeros(3 * width)
+            sd[f"{pre}.attn.out_proj.weight"] = torch.randn(width, width) * 0.02
+            sd[f"{pre}.attn.out_proj.bias"] = torch.zeros(width)
+            sd[f"{pre}.ln_1.weight"] = torch.ones(width)
+            sd[f"{pre}.ln_1.bias"] = torch.zeros(width)
+            sd[f"{pre}.ln_2.weight"] = torch.ones(width)
+            sd[f"{pre}.ln_2.bias"] = torch.zeros(width)
+            sd[f"{pre}.mlp.c_fc.weight"] = torch.randn(4 * width, width) * 0.02
+            sd[f"{pre}.mlp.c_fc.bias"] = torch.zeros(4 * width)
+            sd[f"{pre}.mlp.c_proj.weight"] = torch.randn(width, 4 * width) * 0.02
+            sd[f"{pre}.mlp.c_proj.bias"] = torch.zeros(width)
+        sd["visual.ln_post.weight"] = torch.ones(width)
+        sd["visual.ln_post.bias"] = torch.zeros(width)
+        sd["visual.proj"] = torch.randn(width, v.embed_dim) * 0.02
+        return {k: v.detach() for k, v in sd.items()}
+
+
+def test_checkpoint_conversion_text_parity():
+    torch.manual_seed(0)
+    arch = tiny_test_config()
+    tm = _TorchTextCLIP(
+        arch.vocab_size,
+        arch.transformer_width,
+        arch.transformer_layers,
+        arch.transformer_heads,
+        arch.context_length,
+        arch.embed_dim,
+    ).eval()
+    sd = tm.openai_state_dict(arch)
+
+    inferred = infer_config_from_state_dict(sd)
+    assert inferred.transformer_width == arch.transformer_width
+    assert inferred.vision_patch_size == arch.vision_patch_size
+    assert inferred.context_length == arch.context_length
+
+    params = convert_torch_state_dict(sd, inferred, dtype_policy=False)
+
+    tokens_np = tokenize(["a photo of a cat.", "a photo of a dog."])
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(tokens_np.astype(np.int64))).numpy()
+    ours = np.asarray(encode_text_tokens(params["text"], inferred,
+                                         jnp.asarray(tokens_np)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=2e-4)
+
+
+def test_checkpoint_conversion_vision_runs():
+    torch.manual_seed(0)
+    arch = tiny_test_config()
+    tm = _TorchTextCLIP(
+        arch.vocab_size, arch.transformer_width, arch.transformer_layers,
+        arch.transformer_heads, arch.context_length, arch.embed_dim,
+    )
+    sd = tm.openai_state_dict(arch)
+    params = convert_torch_state_dict(sd)
+    imgs = jnp.zeros((2, arch.image_resolution, arch.image_resolution, 3))
+    feats = encode_image(params["visual"], arch, imgs)
+    assert feats.shape == (2, arch.embed_dim)
