@@ -46,6 +46,11 @@ def get_cfg_default() -> CN:
     cfg.INPUT.RGS_P = 0.2
     cfg.INPUT.GB_P = 0.5
     cfg.INPUT.GB_K = 21
+    # TPU-first input pipeline: "device" = host decodes to uint8 canvas,
+    # fused crop/flip/normalize on device; "host" = torchvision-equivalent
+    # PIL pipeline (exact parity, slow).
+    cfg.INPUT.PIPELINE = "device"
+    cfg.INPUT.CANVAS_SIZE = 256
 
     # ---------------------------------------------------------------- dataset
     cfg.DATASET = CN()

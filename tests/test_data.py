@@ -1,0 +1,137 @@
+"""Data layer tests: few-shot determinism, base/new subsampling, loaders in
+both pipelines, IID partition, caption propagation."""
+
+import numpy as np
+import pytest
+
+from federated_multi_modal_tpu.config import get_cfg_default
+from federated_multi_modal_tpu.data import (
+    ClientDataManager,
+    DataManager,
+    Datum,
+    partition_dataset_iid,
+    subsample_classes,
+)
+from federated_multi_modal_tpu.data.dataset_base import fewshot_with_cache
+from federated_multi_modal_tpu.utils.seed import set_random_seed
+
+
+def _mk(n_cls=5, per=6):
+    return [
+        Datum(impath=f"/x/{c}_{i}.jpg", label=c, classname=f"class{c}",
+              caption=f"cap {c} {i}")
+        for c in range(n_cls)
+        for i in range(per)
+    ]
+
+
+def test_subsample_base_new_partition():
+    data = _mk(5, 4)
+    (base,) = subsample_classes(data, subsample="base")
+    (new,) = subsample_classes(data, subsample="new")
+    # ceil(5/2)=3 base classes, 2 new classes, both relabeled from 0
+    assert {d.label for d in base} == {0, 1, 2}
+    assert {d.label for d in new} == {0, 1}
+    assert {d.classname for d in base} == {"class0", "class1", "class2"}
+    assert {d.classname for d in new} == {"class3", "class4"}
+    # captions preserved (fork caption-aware variant)
+    assert all(d.caption for d in base)
+    (all_out,) = subsample_classes(data, subsample="all")
+    assert all_out is data
+
+
+def test_fewshot_cache_roundtrip(tmp_path):
+    cfg = get_cfg_default()
+    cfg.DATASET.NUM_SHOTS = 2
+    cfg.SEED = 1
+    data = _mk(3, 8)
+    set_random_seed(1)
+    t1, v1 = fewshot_with_cache(cfg, str(tmp_path), data, data)
+    assert len(t1) == 3 * 2
+    assert len(v1) == 3 * 2  # min(2, 4) = 2 per class
+    # cache file exists and reloading gives identical items
+    assert (tmp_path / "shot_2-seed_1.pkl").exists()
+    set_random_seed(99)  # different RNG; cache must win
+    t2, v2 = fewshot_with_cache(cfg, str(tmp_path), data, data)
+    assert [d.impath for d in t2] == [d.impath for d in t1]
+
+
+def test_partition_iid():
+    class DS:
+        train_x = _mk(4, 10)
+        val = _mk(4, 2)
+        test = _mk(4, 3)
+
+    parts = partition_dataset_iid(DS(), 3, seed=0)
+    assert len(parts) == 3
+    sizes = [len(p["train_x"]) for p in parts]
+    assert sum(sizes) == 40
+    assert sizes[0] == sizes[1] == 13
+    # no overlap
+    all_paths = [d.impath for p in parts for d in p["train_x"]]
+    assert len(set(all_paths)) == 40
+    # val/test shared
+    assert parts[0]["val"] is parts[1]["val"]
+
+
+@pytest.fixture(scope="module")
+def synth_cfg(tmp_path_factory):
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path_factory.mktemp("data"))
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 8
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    return cfg
+
+
+def test_synthetic_datamanager_device_pipeline(synth_cfg):
+    dm = DataManager(synth_cfg)
+    assert dm.num_classes == 4
+    assert len(dm.dataset.train_x) > 0
+    batch = next(iter(dm.train_loader))
+    assert batch["canvas"].shape == (4, 256, 256, 3)
+    assert batch["canvas"].dtype == np.uint8
+    assert batch["box"].shape == (4, 4)
+    assert batch["flip"].shape == (4,)
+    assert batch["label"].dtype == np.int32
+    assert all(isinstance(c, str) and c for c in batch["caption"])
+
+
+def test_synthetic_datamanager_host_pipeline(synth_cfg):
+    cfg = synth_cfg.clone()
+    cfg.INPUT.PIPELINE = "host"
+    dm = DataManager(cfg)
+    batch = next(iter(dm.test_loader))
+    img = batch["img"]
+    assert img.shape[1:] == (224, 224, 3)
+    assert img.dtype == np.float32
+    # CLIP normalization: values should be in roughly [-3, 3]
+    assert np.abs(img).max() < 4.0
+
+
+def test_client_datamanager_label_validation(synth_cfg):
+    bad = [Datum(impath="/x.jpg", label=-1, classname="x")]
+    with pytest.raises(ValueError):
+        ClientDataManager(train_x=bad, val=[], test=bad, cfg=synth_cfg)
+
+
+def test_client_datamanager_lab2cname(synth_cfg):
+    data = _mk(3, 2)
+    cdm = ClientDataManager(train_x=data, val=data, test=data, cfg=synth_cfg)
+    assert cdm.lab2cname == {0: "class0", 1: "class1", 2: "class2"}
+    assert cdm.num_classes == 3
+
+
+def test_loader_drop_last_and_len(synth_cfg):
+    from federated_multi_modal_tpu.data import DataLoader, build_transform
+
+    data = _mk(1, 10)
+    tfm = build_transform(synth_cfg, is_train=True)
+    dl = DataLoader(data, batch_size=4, transform=tfm, is_train=True,
+                    prefetch_depth=0)
+    assert len(dl) == 2  # drop_last for train
+    dl_eval = DataLoader(data, batch_size=4, transform=tfm, is_train=False,
+                         prefetch_depth=0)
+    assert len(dl_eval) == 3

@@ -1,0 +1,95 @@
+"""Fused device preprocessing: correctness against PIL bicubic."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from federated_multi_modal_tpu.ops.preprocess import (
+    CLIP_MEAN,
+    CLIP_STD,
+    center_boxes,
+    crop_resize_flip_normalize,
+    sample_rrc_boxes,
+)
+
+
+def _denorm(x):
+    return np.asarray(x, np.float32) * np.asarray(CLIP_STD) + np.asarray(CLIP_MEAN)
+
+
+def test_full_canvas_resize_matches_pil():
+    rng = np.random.default_rng(0)
+    canvas = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    boxes, flips = center_boxes(2, canvas_size=64)
+    out = crop_resize_flip_normalize(
+        jnp.asarray(canvas), jnp.asarray(boxes), jnp.asarray(flips), out_size=32
+    )
+    got = _denorm(out) * 255.0
+
+    for b in range(2):
+        ref = Image.fromarray(canvas[b]).resize((32, 32), Image.BICUBIC)
+        ref = np.asarray(ref, np.float32)
+        # PIL quantizes to uint8 between passes; allow a couple of levels
+        assert np.abs(got[b] - ref).mean() < 1.5
+        assert np.abs(got[b] - ref).max() < 8.0
+
+
+def test_flip_is_horizontal_mirror():
+    rng = np.random.default_rng(1)
+    canvas = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    boxes, _ = center_boxes(1, canvas_size=64)
+    out_plain = crop_resize_flip_normalize(
+        jnp.asarray(canvas), jnp.asarray(boxes),
+        jnp.asarray(np.array([False])), out_size=32,
+    )
+    out_flip = crop_resize_flip_normalize(
+        jnp.asarray(canvas), jnp.asarray(boxes),
+        jnp.asarray(np.array([True])), out_size=32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_plain, np.float32),
+        np.asarray(out_flip, np.float32)[:, :, ::-1, :],
+        atol=1e-2,
+    )
+
+
+def test_crop_box_restricts_content():
+    # canvas: left half black, right half white; crop right half -> all white
+    canvas = np.zeros((1, 64, 64, 3), np.uint8)
+    canvas[:, :, 32:, :] = 255
+    boxes = np.asarray([[0.0, 32.0, 64.0, 32.0]], np.float32)
+    flips = np.zeros(1, bool)
+    out = crop_resize_flip_normalize(
+        jnp.asarray(canvas), jnp.asarray(boxes), jnp.asarray(flips), out_size=16
+    )
+    vals = _denorm(out)
+    # interior pixels (away from the crop boundary ring) must be white
+    assert vals[0, 4:12, 4:12].min() > 0.95
+
+
+def test_rrc_box_sampler_bounds():
+    rng = np.random.default_rng(2)
+    boxes, flips = sample_rrc_boxes(rng, 100, canvas_size=256)
+    y0, x0, h, w = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    assert (y0 >= 0).all() and (x0 >= 0).all()
+    assert (y0 + h <= 256).all() and (x0 + w <= 256).all()
+    assert (h > 0).all() and (w > 0).all()
+    assert flips.dtype == bool
+    # aspect ratio within [3/4, 4/3] (+rounding slack)
+    ar = w / h
+    assert (ar > 0.70).all() and (ar < 1.43).all()
+
+
+def test_output_dtype_and_normalization():
+    canvas = np.full((1, 64, 64, 3), 128, np.uint8)
+    boxes, flips = center_boxes(1, canvas_size=64)
+    out = crop_resize_flip_normalize(
+        jnp.asarray(canvas), jnp.asarray(boxes), jnp.asarray(flips), out_size=32
+    )
+    assert out.dtype == jnp.bfloat16
+    expected = (128.0 / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[0, 16, 16], expected, atol=2e-2
+    )
