@@ -1,0 +1,465 @@
+"""Trainer base classes (the Dassl-engine equivalent, functional-JAX style).
+
+``TrainerX`` reproduces the lifecycle the reference trainers rely on
+(``trainers/coop.py``, ``trainers/maple.py``): ``__init__`` ->
+``build_data_loader()`` -> ``build_model()``; ``train()`` epoch loop with
+``before/after_epoch`` hooks, per-batch ``forward_backward``; ``test()``
+through the Classification evaluator; ``register_model`` +
+``save_model``/``load_model`` checkpointing; per-epoch ``update_lr``.
+
+The torch-module world is replaced by explicit state: each trainer owns
+
+* ``frozen``      — the non-trained parameter pytree (bf16 CLIP weights +
+                    class-conditioned constants)
+* ``trainable``   — the fp32 pytree being optimized
+* ``opt_state``   — optax state with an injectable learning rate
+
+and two jitted programs: ``_train_step(trainable, opt_state, batch) ->
+(trainable, opt_state, metrics)`` with donated buffers, and
+``_infer_step(trainable, images) -> logits``.  Device preprocessing
+(``ops/preprocess.py``) happens inside ``parse_batch_*`` so the uint8
+canvas is the only host->HBM transfer.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os.path as osp
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from federated_multi_modal_tpu.engine.checkpoint import (
+    drop_class_conditioned,
+    find_resume_checkpoint,
+    flatten_params,
+    load_checkpoint,
+    save_checkpoint,
+    unflatten_into,
+)
+from federated_multi_modal_tpu.engine.evaluator import Classification
+from federated_multi_modal_tpu.engine.optim import (
+    build_lr_schedule,
+    build_optimizer,
+    get_learning_rate,
+    set_learning_rate,
+)
+from federated_multi_modal_tpu.models.params import COMPUTE_DTYPE
+from federated_multi_modal_tpu.ops.preprocess import crop_resize_flip_normalize
+
+
+# --------------------------------------------------------------------------
+# pytree partition utilities (trainable/frozen split)
+# --------------------------------------------------------------------------
+
+
+def path_name(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return ".".join(parts)
+
+
+def split_tree(tree, predicate: Callable[[str], bool]):
+    """Split one pytree into (selected, rest); each keeps the full structure
+    with ``None`` in the complementary slots so they can be merged back and
+    differentiated independently."""
+
+    def pick(path, leaf):
+        return leaf if predicate(path_name(path)) else None
+
+    def drop(path, leaf):
+        return None if predicate(path_name(path)) else leaf
+
+    selected = jax.tree_util.tree_map_with_path(pick, tree)
+    rest = jax.tree_util.tree_map_with_path(drop, tree)
+    return selected, rest
+
+
+def merge_trees(a, b):
+    """Inverse of split_tree: take the non-None leaf at each position."""
+
+    def merge(x, y):
+        return x if x is not None else y
+
+    return jax.tree_util.tree_map(
+        merge, a, b, is_leaf=lambda x: x is None
+    )
+
+
+def cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x is not None else None,
+        tree,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def count_params(tree) -> int:
+    return sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree)
+        if x is not None
+    )
+
+
+def tree_finite(tree) -> bool:
+    """Validity gate over a pytree (reference ``check_weights_valid``,
+    ``trainers/maple_fed.py:317-325``)."""
+    leaves = [x for x in jax.tree_util.tree_leaves(tree) if x is not None]
+    if not leaves:
+        return True
+    flags = [jnp.all(jnp.isfinite(x.astype(jnp.float32))) for x in leaves]
+    return bool(jax.device_get(jnp.all(jnp.stack(flags))))
+
+
+# --------------------------------------------------------------------------
+# base trainer
+# --------------------------------------------------------------------------
+
+
+class TrainerBase:
+    """Lifecycle + checkpoint registry (Dassl ``TrainerBase`` analog)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.check_cfg(cfg)
+
+        self._models: Dict[str, dict] = {}
+
+        self.start_epoch = 0
+        self.epoch = 0
+        self.max_epoch = cfg.OPTIM.MAX_EPOCH
+        self.output_dir = cfg.OUTPUT_DIR
+        self.best_result = -np.inf
+
+        self.dm = None
+        self.train_loader_x = None
+        self.val_loader = None
+        self.test_loader = None
+
+        self.build_data_loader()
+        self.build_model()
+
+        lab2cname = getattr(self.dm, "lab2cname", {}) if self.dm else {}
+        self.evaluator = Classification(cfg, lab2cname=lab2cname)
+
+    # -- hooks ---------------------------------------------------------------
+    def check_cfg(self, cfg):
+        pass
+
+    def build_data_loader(self):
+        from federated_multi_modal_tpu.data.manager import DataManager
+
+        self.dm = DataManager(self.cfg)
+        self.train_loader_x = self.dm.train_loader_x
+        self.val_loader = self.dm.val_loader
+        self.test_loader = self.dm.test_loader
+        self.num_classes = self.dm.num_classes
+
+    def build_model(self):
+        raise NotImplementedError
+
+    # -- model registry ---------------------------------------------------------
+    def register_model(self, name: str, get_state: Callable[[], dict],
+                       set_state: Callable[[dict], None]):
+        """Register a named checkpointable unit.
+
+        ``get_state()`` returns ``{"state_dict": flat np dict, "optimizer":
+        any, "scheduler": any}``; ``set_state(flat_dict)`` loads weights
+        non-strictly.
+        """
+        if name in self._models:
+            raise KeyError(f"Model {name!r} already registered")
+        self._models[name] = {"get": get_state, "set": set_state}
+
+    def get_model_names(self, names=None):
+        if names is not None:
+            return [n for n in names if n in self._models]
+        return list(self._models)
+
+    # -- training loop ----------------------------------------------------------
+    def train(self):
+        self.before_train()
+        self.time_start = time.time()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+
+    def before_train(self):
+        if self.cfg.RESUME:
+            self.start_epoch = self.resume_model_if_exist(self.cfg.RESUME)
+        self.time_start = time.time()
+
+    def before_epoch(self):
+        pass
+
+    def after_epoch(self):
+        last_epoch = (self.epoch + 1) == self.max_epoch
+        freq = self.cfg.TRAIN.CHECKPOINT_FREQ
+        if (freq > 0 and (self.epoch + 1) % freq == 0) and not last_epoch:
+            self.save_model(self.epoch)
+
+    def after_train(self):
+        print("Finish training")
+        if not self.cfg.TEST.NO_TEST:
+            if self.cfg.TEST.FINAL_MODEL == "best_val":
+                print("Deploy the model with the best val performance")
+                self.load_model(self.output_dir)
+            self.test()
+        self.save_model(self.epoch)
+        elapsed = round(time.time() - self.time_start)
+        print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
+        # parse_test_res end-of-run sentinel (parse_test_res.py:170-173)
+        print("Finished training")
+
+    def run_epoch(self):
+        self.set_model_mode("train")
+        losses = []
+        self.num_batches = len(self.train_loader_x)
+        end = time.time()
+        for self.batch_idx, batch in enumerate(self.train_loader_x):
+            loss_summary = self.forward_backward(batch)
+            losses.append(loss_summary.get("loss", 0.0))
+            if (
+                (self.batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
+                or self.num_batches < self.cfg.TRAIN.PRINT_FREQ
+            ):
+                info = " ".join(f"{k} {v:.4f}" for k, v in loss_summary.items())
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                    f"batch [{self.batch_idx + 1}/{self.num_batches}] "
+                    f"{info} lr {self.get_current_lr():.4e} "
+                    f"time {time.time() - end:.3f}"
+                )
+            end = time.time()
+        return float(np.mean(losses)) if losses else 0.0
+
+    def forward_backward(self, batch) -> dict:
+        raise NotImplementedError
+
+    def set_model_mode(self, mode="train"):
+        self.training = mode == "train"
+
+    def update_lr(self):
+        raise NotImplementedError
+
+    def get_current_lr(self) -> float:
+        return 0.0
+
+    # -- evaluation ----------------------------------------------------------
+    def model_inference(self, images) -> np.ndarray:
+        raise NotImplementedError
+
+    def parse_batch_images(self, batch):
+        """Images onto device; fused preprocessing for the canvas pipeline."""
+        if "canvas" in batch:
+            return crop_resize_flip_normalize(
+                jnp.asarray(batch["canvas"]),
+                jnp.asarray(batch["box"]),
+                jnp.asarray(batch["flip"]),
+                out_size=self.cfg.INPUT.SIZE[0],
+            )
+        return jnp.asarray(batch["img"], COMPUTE_DTYPE)
+
+    def test(self, split: Optional[str] = None) -> dict:
+        self.set_model_mode("eval")
+        self.evaluator.reset()
+        if split is None:
+            split = self.cfg.TEST.SPLIT
+        if split == "val" and self.val_loader is not None:
+            loader = self.val_loader
+        else:
+            split = "test"
+            loader = self.test_loader
+        print(f"Evaluate on the *{split}* set")
+
+        batch_size = loader.batch_size
+        for batch in loader:
+            images = self.parse_batch_images(batch)
+            labels = batch["label"]
+            n = images.shape[0]
+            if n < batch_size:  # pad to keep a single compiled program
+                pad = batch_size - n
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)]
+                )
+            logits = np.asarray(self.model_inference(images))[:n]
+            self.evaluator.process(logits, labels)
+        return self.evaluator.evaluate()
+
+    # -- checkpointing ------------------------------------------------------------
+    def save_model(self, epoch=None, directory="", is_best=False, val_result=None):
+        if not directory:
+            directory = self.output_dir
+        epoch = self.epoch if epoch is None else epoch
+        for name in self.get_model_names():
+            state = self._models[name]["get"]()
+            payload = {
+                "epoch": epoch + 1,
+                "state_dict": state["state_dict"],
+                "optimizer": state.get("optimizer"),
+                "scheduler": state.get("scheduler"),
+                "val_result": val_result,
+                "cfg": self.cfg.dump(),
+            }
+            save_checkpoint(payload, osp.join(directory, name), is_best=is_best)
+
+    def load_model(self, directory, epoch=None):
+        if not directory:
+            print("Note that load_model() is skipped as no pretrained model is given")
+            return
+        model_file = "model-best.pth.tar"
+        if epoch is not None:
+            model_file = f"model.pth.tar-{epoch}"
+        for name in self.get_model_names():
+            model_path = osp.join(directory, name, model_file)
+            if not osp.exists(model_path):
+                raise FileNotFoundError(f'Model not found at "{model_path}"')
+            checkpoint = load_checkpoint(model_path)
+            state_dict = drop_class_conditioned(checkpoint["state_dict"])
+            loaded_epoch = checkpoint.get("epoch")
+            print(
+                f'Loading weights to {name} from "{model_path}" '
+                f"(epoch = {loaded_epoch})"
+            )
+            self._models[name]["set"](state_dict)
+
+    def resume_model_if_exist(self, directory) -> int:
+        start = 0
+        for name in self.get_model_names():
+            fpath = find_resume_checkpoint(osp.join(directory, name))
+            if fpath is None:
+                continue
+            checkpoint = load_checkpoint(fpath)
+            self._models[name]["set"](checkpoint["state_dict"])
+            start = checkpoint.get("epoch", 0)
+            print(f"Resumed {name} from {fpath} (epoch {start})")
+        return start
+
+
+class TrainerX(TrainerBase):
+    """Supervised single-source trainer (Dassl ``TrainerX`` analog)."""
+
+    def parse_batch_train(self, batch):
+        images = self.parse_batch_images(batch)
+        labels = jnp.asarray(batch["label"])
+        return images, labels
+
+
+# --------------------------------------------------------------------------
+# shared functional-trainer machinery for the prompt-learning methods
+# --------------------------------------------------------------------------
+
+
+class FunctionalTrainerMixin:
+    """State + jitted step plumbing shared by all prompt trainers.
+
+    Subclasses must set:
+      ``self.frozen``       frozen pytree
+      ``self.trainable``    fp32 trainable pytree
+      ``self.loss_fn(trainable, frozen, batch_dict) -> (loss, aux)``
+      ``self.logits_fn(trainable, frozen, images) -> logits``
+    and call ``self.setup_optimization()``.
+    """
+
+    def setup_optimization(self):
+        cfg = self.cfg
+        self.sched_fn = build_lr_schedule(cfg.OPTIM)
+        self.tx = build_optimizer(cfg.OPTIM, learning_rate=self.sched_fn(0))
+        self.opt_state = self.tx.init(self.trainable)
+        self.lr_history = [self.sched_fn(0)]
+        # NaN bookkeeping mirroring the reference's fp16 failure machinery
+        # (trainers/maple.py:398-400, 617-627) — bf16 rarely trips it
+        self.nan_count = 0
+        self.total_batches = 0
+
+        donate = (0, 2) if cfg.TPU.DONATE_BUFFERS else ()
+
+        def _train_step(trainable, frozen, opt_state, batch):
+            def wrapped(tr):
+                return self.loss_fn(tr, frozen, batch)
+
+            (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(
+                trainable
+            )
+            gnorm = jnp.sqrt(
+                sum(
+                    jnp.sum(jnp.square(g.astype(jnp.float32)))
+                    for g in jax.tree_util.tree_leaves(grads)
+                    if g is not None
+                )
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, trainable)
+            trainable = jax.tree_util.tree_map(
+                lambda p, u: p if u is None else p + u,
+                trainable,
+                updates,
+                is_leaf=lambda x: x is None,
+            )
+            return trainable, opt_state, loss, gnorm, aux
+
+        def _infer(trainable, frozen, images):
+            return self.logits_fn(trainable, frozen, images)
+
+        self._train_step = jax.jit(_train_step, donate_argnums=donate)
+        self._infer = jax.jit(_infer)
+
+    # -- training -----------------------------------------------------------
+    def train_step(self, batch_dict) -> dict:
+        self.total_batches += 1
+        self.trainable, self.opt_state, loss, gnorm, aux = self._train_step(
+            self.trainable, self.frozen, self.opt_state, batch_dict
+        )
+        loss = float(jax.device_get(loss))
+        if not np.isfinite(loss):
+            # skip-batch semantics: the optimizer already applied a step, so
+            # the reference's "zero_grad and skip" maps to restoring finite
+            # state lazily at the aggregation/validity gates; count it here
+            self.nan_count += 1
+            print(
+                f"NaN rate: {self.nan_count / max(1, self.total_batches):.2%}"
+            )
+        out = {"loss": loss, "grad_norm": float(jax.device_get(gnorm))}
+        if aux:
+            out.update({k: float(jax.device_get(v)) for k, v in aux.items()})
+        return out
+
+    def model_inference(self, images):
+        return self._infer(self.trainable, self.frozen, images)
+
+    # -- LR schedule ----------------------------------------------------------
+    def update_lr(self):
+        """Per-epoch scheduler step (Dassl steps schedulers per epoch)."""
+        new_lr = self.sched_fn(self.epoch + 1)
+        self.opt_state = set_learning_rate(self.opt_state, new_lr)
+        if not self.lr_history or self.lr_history[-1] != new_lr:
+            self.lr_history.append(new_lr)
+
+    def set_epoch_lr(self, epoch: int):
+        """Jump the schedule to a given global epoch — the federated
+        broadcast's ``last_epoch = epoch - 1`` contract
+        (``trainers/maple_fed.py:337-339``)."""
+        self.opt_state = set_learning_rate(self.opt_state, self.sched_fn(epoch))
+
+    def get_current_lr(self) -> float:
+        try:
+            return get_learning_rate(self.opt_state)
+        except Exception:
+            return 0.0
+
+    def reset_optimizer_state(self):
+        """Drop momentum (the federated broadcast deletes optimizer state,
+        ``trainers/maple_fed.py:331-336``)."""
+        lr = self.get_current_lr()
+        self.opt_state = self.tx.init(self.trainable)
+        self.opt_state = set_learning_rate(self.opt_state, lr)

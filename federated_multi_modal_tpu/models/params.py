@@ -72,10 +72,12 @@ class CLIPConfig:
         return self.grid_size ** 2
 
 
-# Known OpenAI backbones the reference downloads (``clip/clip.py:29-37``).
+# Known OpenAI backbones the reference downloads (``clip/clip.py:29-37``),
+# plus the miniature test backbone.
 BACKBONE_CONFIGS = {
     "ViT-B/16": CLIPConfig(),
     "ViT-B/32": CLIPConfig(vision_patch_size=32),
+    "Tiny": None,  # replaced below (tiny_test_config not yet defined here)
     "ViT-L/14": CLIPConfig(
         embed_dim=768,
         vision_layers=24,
@@ -106,6 +108,9 @@ def tiny_test_config() -> CLIPConfig:
         transformer_heads=2,
         transformer_layers=3,
     )
+
+
+BACKBONE_CONFIGS["Tiny"] = tiny_test_config()
 
 
 # --------------------------------------------------------------------------
@@ -374,6 +379,10 @@ def load_clip_backbone(cfg_model, key=None):
             "(or set MODEL.BACKBONE.WEIGHTS_PATH)"
         )
     arch = BACKBONE_CONFIGS[name]
+    if name == "Tiny":
+        # deterministic small init for tests/dry-runs; cheap enough to skip
+        # the "no weights" warning below
+        return arch, init_clip_params(arch, key)
     print(
         f"[clip] No local weights for {name}; initializing randomly "
         "(set MODEL.BACKBONE.WEIGHTS_PATH to an OpenAI checkpoint for "
