@@ -1,0 +1,414 @@
+"""MaPLeFederated — the federated aggregator (rebuild of
+``trainers/maple_fed.py``).
+
+Round loop semantics preserved exactly (``:228-303``):
+  broadcast global weights (validity-gated) -> each client trains
+  LOCAL_EPOCHS with global-epoch scheduler windows -> per-client failure
+  isolation -> per-client weight validity gate (invalid clients reset to
+  global) -> FedAvg in fp32 with nan_to_num scrubbing -> post-round test on
+  client 0 -> ``nan_stats`` accounting -> finalize: final test +
+  aggregator checkpoint under ``MultiModalPromptLearner_Aggregator/``.
+
+TPU-native differences (documented):
+  * The frozen CLIP tower is **shared** across clients (one HBM copy); only
+    the trainable pytrees are per-client.  FedAvg therefore averages the
+    trainable tree — mathematically identical to the reference's full-state
+    average, since frozen leaves are equal across clients.
+  * Master weights are fp32 (the reference casts the average back to fp16,
+    ``safe_average_weights``, ``:309-315``).
+  * With ``FED.PARALLEL_CLIENTS`` and a multi-chip mesh, clients map onto a
+    ``client`` mesh axis and FedAvg becomes one ``pmean`` over ICI
+    (``parallel/fedavg.py``) instead of the sequential loop.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from federated_multi_modal_tpu.data.datasets.ucmerced import UCMERCED_RENAME_MAP
+from federated_multi_modal_tpu.data.datum import Datum
+from federated_multi_modal_tpu.data.manager import ClientDataManager, DataManager
+from federated_multi_modal_tpu.engine.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+from federated_multi_modal_tpu.engine.registry import TRAINER_REGISTRY
+from federated_multi_modal_tpu.engine.trainer import TrainerX, tree_finite
+from federated_multi_modal_tpu.models.params import load_clip_backbone
+from federated_multi_modal_tpu.trainers.maple import MaPLe
+
+
+def safe_average_trees(trees):
+    """FedAvg with non-finite scrubbing (``safe_average_weights``,
+    ``trainers/maple_fed.py:309-315``): stack fp32, nan->0 / inf->±1e4,
+    mean over clients."""
+
+    def avg(*leaves):
+        if leaves[0] is None:
+            return None
+        stacked = jax.numpy.stack(
+            [leaf.astype(jax.numpy.float32) for leaf in leaves]
+        )
+        stacked = jax.numpy.nan_to_num(stacked, nan=0.0, posinf=1e4, neginf=-1e4)
+        return jax.numpy.mean(stacked, axis=0).astype(leaves[0].dtype)
+
+    return jax.tree_util.tree_map(
+        avg, *trees, is_leaf=lambda x: x is None
+    )
+
+
+def copy_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else jax.numpy.array(x),
+        tree,
+        is_leaf=lambda x: x is None,
+    )
+
+
+@TRAINER_REGISTRY.register()
+class MaPLeFederated(TrainerX):
+    def __init__(self, cfg):
+        self.lab2cname = {}
+        self.num_clients = cfg.FED.NUM_CLIENTS
+        self.num_rounds = cfg.FED.NUM_ROUNDS
+        self.local_epochs = cfg.FED.LOCAL_EPOCHS
+        self.clients = []
+        self.global_weights = None
+        self.nan_stats = {
+            "total_updates": 0,
+            "failed_clients": [],
+            "skipped_rounds": 0,
+        }
+        super().__init__(cfg)
+
+    # ------------------------------------------------------------------
+    # A) unified data loading (reference :48-159)
+    # ------------------------------------------------------------------
+    def build_data_loader(self):
+        cfg = self.cfg
+        client_names = list(cfg.FED.DATASETS)
+        extra_names = list(cfg.FED.CLASSNAME_ONLY_DATASETS)
+
+        datasets = {}
+        for name in client_names + extra_names:
+            sub_cfg = cfg.clone()
+            sub_cfg.defrost()
+            sub_cfg.DATASET.NAME = name
+            dm = DataManager(sub_cfg)
+            datasets[name] = dm.dataset
+
+        # rename UCMerced vocabulary into PatternNet's (reference :84-96)
+        def renamed_lab2cname(dataset, name):
+            mapping = dict(dataset.lab2cname)
+            if name == "Ucmerced":
+                for k, cname in mapping.items():
+                    mapping[k] = UCMERCED_RENAME_MAP.get(cname, cname)
+            return mapping
+
+        lab_maps = {
+            name: renamed_lab2cname(ds, name) for name, ds in datasets.items()
+        }
+
+        # global class list = sorted union (reference :98-104)
+        global_set = set()
+        for mapping in lab_maps.values():
+            global_set.update(mapping.values())
+        global_list = sorted(global_set)
+        print(f"[INFO] Unified #classes = {len(global_list)}")
+        name2gid = {c: i for i, c in enumerate(global_list)}
+        self.lab2cname = {i: c for i, c in enumerate(global_list)}
+
+        def remap(data_list, local_map):
+            out = []
+            for item in data_list:
+                cname = local_map[item.label]
+                out.append(
+                    Datum(
+                        impath=item.impath,
+                        label=name2gid[cname],
+                        classname=cname,
+                        caption=item.caption,
+                    )
+                )
+            return out
+
+        self.client_data_managers = []
+        for name in client_names[: self.num_clients]:
+            ds = datasets[name]
+            local_map = lab_maps[name]
+            self.client_data_managers.append(
+                ClientDataManager(
+                    train_x=remap(ds.train_x, local_map),
+                    val=remap(ds.val, local_map),
+                    test=remap(ds.test, local_map),
+                    cfg=cfg,
+                )
+            )
+
+        cfg.defrost()
+        cfg.MODEL.NUM_CLASSES = len(global_list)
+        cfg.freeze()
+
+        # aggregator-level loaders unused (reference :154-158)
+        self.train_loader_x = None
+        self.val_loader = None
+        self.test_loader = None
+        self.dm = None
+        self.num_classes = len(global_list)
+
+    # ------------------------------------------------------------------
+    # B) client construction (reference :164-176)
+    # ------------------------------------------------------------------
+    def build_model(self):
+        cfg = self.cfg
+        global_classnames = list(self.lab2cname.values())
+
+        print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
+        shared_clip = load_clip_backbone(cfg.MODEL)
+
+        self.clients = []
+        for i, dm in enumerate(self.client_data_managers):
+            trainer = MaPLe(
+                cfg,
+                client_id=i,
+                classnames=global_classnames,
+                dm=dm,
+                shared_clip=shared_clip,
+            )
+            self.clients.append(trainer)
+
+        self.global_weights = copy_tree(self.clients[0].trainable)
+
+    # ------------------------------------------------------------------
+    # C) federated round loop (reference :228-303)
+    # ------------------------------------------------------------------
+    def train(self):
+        for round_idx in range(self.num_rounds):
+            print(f"\n--- Federated Round {round_idx + 1}/{self.num_rounds} ---")
+
+            if self.check_weights_valid(self.global_weights):
+                self.broadcast_weights(self.global_weights, round_idx)
+            else:
+                print("Invalid global weights detected! Skipping round.")
+                self.nan_stats["skipped_rounds"] += 1
+                continue
+
+            local_trees = []
+            valid_clients = 0
+            round_losses = []
+
+            for i, trainer in enumerate(self.clients):
+                print(f"[Client {i}] local training ...")
+                start = round_idx * self.local_epochs
+                stop = (round_idx + 1) * self.local_epochs
+                last_epoch_loss = 0.0
+                try:
+                    for ep in range(start, stop):
+                        res = trainer.run_epoch(ep)
+                        last_epoch_loss = res.get("avg_loss", 0.0)
+                except RuntimeError as e:
+                    print(f"Client {i} failed training: {e}")
+                    self.nan_stats["failed_clients"].append(i)
+                    continue
+
+                round_losses.append(last_epoch_loss)
+
+                if self.check_weights_valid(trainer.trainable):
+                    local_trees.append(trainer.trainable)
+                    valid_clients += 1
+                else:
+                    print(f"Client {i} produced invalid weights, skipping aggregation")
+                    trainer.trainable = copy_tree(self.global_weights)
+
+            if round_losses:
+                avg = sum(round_losses) / len(round_losses)
+                print(f"[Round {round_idx + 1}] Avg local training loss = {avg:.4f}")
+
+            if valid_clients > 0:
+                self.global_weights = safe_average_trees(local_trees)
+                self.nan_stats["total_updates"] += 1
+            else:
+                print("All clients failed! Reverting to previous global model.")
+                self.nan_stats["skipped_rounds"] += 1
+
+            if self.check_weights_valid(self.global_weights):
+                self.broadcast_weights(
+                    self.global_weights, round_idx, advance=True
+                )
+                test_res = self.clients[0].test()
+                print(
+                    f"[Round {round_idx + 1}] Test accuracy (client 0) = "
+                    f"{test_res['accuracy']:.2f}%"
+                )
+            else:
+                print("Global weights invalid after aggregation, skipping test.")
+
+        self.finalize_training()
+
+    # ------------------------------------------------------------------
+    # D) utilities
+    # ------------------------------------------------------------------
+    def check_weights_valid(self, tree) -> bool:
+        return tree_finite(tree)
+
+    def broadcast_weights(self, global_tree, round_idx: int = 0,
+                          advance: bool = False):
+        """Load global weights into every client, drop optimizer momentum,
+        and rebuild the schedule at the client's global epoch
+        (reference :327-339)."""
+        epoch = (round_idx + (1 if advance else 0)) * self.local_epochs
+        for trainer in self.clients:
+            trainer.trainable = copy_tree(global_tree)
+            trainer.reset_optimizer_state()
+            trainer.set_epoch_lr(epoch)
+            trainer.epoch = epoch
+
+    def finalize_training(self):
+        print("\nTraining Summary:")
+        print(f"Completed Rounds: {self.nan_stats['total_updates']}")
+        print(f"Skipped Rounds: {self.nan_stats['skipped_rounds']}")
+        fail_rate = len(self.nan_stats["failed_clients"]) / max(1, self.num_clients)
+        print(f"Client Failure Rate: {fail_rate:.1%}")
+
+        if self.check_weights_valid(self.global_weights):
+            self.broadcast_weights(self.global_weights, self.num_rounds)
+            result = self.clients[0].test()
+            print("Final test result:", result)
+            self.before_save()
+            self.save_model()
+        else:
+            print("Final global invalid, no test.")
+        print("Finished training")
+
+    def before_save(self):
+        """Sync global weights into the clients' registered slots."""
+        for trainer in self.clients:
+            trainer.trainable = copy_tree(self.global_weights)
+
+    def save_model(self, epoch=None, directory="", is_best=False, val_result=None):
+        from federated_multi_modal_tpu.engine.checkpoint import flatten_params
+
+        if not directory:
+            directory = self.cfg.OUTPUT_DIR
+        target_dir = osp.join(directory, "MultiModalPromptLearner_Aggregator")
+        state_dict = flatten_params(self.global_weights)
+        # include class-conditioned constants like the clients do
+        sd_client = self.clients[0]._get_state()["state_dict"]
+        for k in ("prompt_learner.token_prefix", "prompt_learner.token_suffix"):
+            if k in sd_client:
+                state_dict[k] = sd_client[k]
+        checkpoint = {
+            "epoch": self.cfg.OPTIM.MAX_EPOCH,
+            "state_dict": state_dict,
+            "optimizer": None,
+            "scheduler": None,
+            "val_result": val_result,
+            "cfg": self.cfg.dump(),
+        }
+        save_checkpoint(
+            checkpoint, target_dir,
+            is_best=is_best,
+            model_name=f"model.pth.tar-{self.cfg.OPTIM.MAX_EPOCH}",
+        )
+        if self.cfg.VERBOSE:
+            print(f"Model saved to {target_dir}")
+
+    def load_model(self, directory, epoch=None):
+        from federated_multi_modal_tpu.engine.checkpoint import (
+            drop_class_conditioned,
+            unflatten_into,
+        )
+
+        if not directory:
+            print("Skipping load_model, no pretrained path given")
+            return
+        subfolder = "MultiModalPromptLearner_Aggregator"
+        model_file = (
+            f"model.pth.tar-{epoch}" if epoch is not None else "model.pth.tar"
+        )
+        path = osp.join(directory, subfolder, model_file)
+        if not osp.exists(path):
+            # the reference's default save carries MAX_EPOCH in the name
+            alt = osp.join(
+                directory, subfolder, f"model.pth.tar-{self.cfg.OPTIM.MAX_EPOCH}"
+            )
+            if osp.exists(alt):
+                path = alt
+            else:
+                raise FileNotFoundError(f"Model not found at {path}")
+        ckpt = load_checkpoint(path)
+        flat = drop_class_conditioned(ckpt["state_dict"])
+        self.global_weights, _ = unflatten_into(self.global_weights, flat)
+        print(
+            f"Loaded aggregator weights from '{path}' "
+            f"(epoch={ckpt.get('epoch')})."
+        )
+        if self.check_weights_valid(self.global_weights):
+            self.broadcast_weights(self.global_weights, 0)
+            print("Broadcasted loaded global weights.")
+        else:
+            print("Warning: loaded global weights invalid! Skipping broadcast.")
+
+    # -- debug tooling (reference :414-491) ----------------------------------
+    def debug_print_samples(self, data_manager, subset="train_x", max_per_class=5):
+        data_subset = getattr(data_manager.dataset, subset, None)
+        if not data_subset:
+            print(f"No data found for subset='{subset}'!")
+            return
+        class_dict = defaultdict(list)
+        for d in data_subset:
+            class_dict[d.classname].append(d)
+        print(f"\n--- Debugging {subset.upper()} ---")
+        for cname, samples in class_dict.items():
+            print(f"\nClass '{cname}' ({len(samples)} samples)")
+            for i, datum in enumerate(samples[:max_per_class]):
+                print(
+                    f"  Sample {i + 1} | label={datum.label}, "
+                    f"caption='{datum.caption}', impath='{datum.impath}'"
+                )
+        print("--- End of Debug ---\n")
+
+    def debug_save_samples_images(self, data_manager, subset="train_x",
+                                  output_dir="debug_samples", max_per_class=5):
+        from PIL import Image
+
+        data_subset = getattr(data_manager.dataset, subset, None)
+        if not data_subset:
+            print(f"No data found for subset='{subset}'!")
+            return
+        class_dict = defaultdict(list)
+        for d in data_subset:
+            class_dict[d.classname].append(d)
+        subset_dir = os.path.join(output_dir, subset)
+        os.makedirs(subset_dir, exist_ok=True)
+        for cname, samples in class_dict.items():
+            class_dir = os.path.join(subset_dir, cname)
+            os.makedirs(class_dir, exist_ok=True)
+            for i, datum in enumerate(samples[:max_per_class]):
+                img = Image.open(datum.impath).convert("RGB")
+                img.save(
+                    os.path.join(
+                        class_dir, f"sample_{i + 1}_label_{datum.label}.jpg"
+                    )
+                )
+        print(f"Saved up to {max_per_class} images per class to: {subset_dir}")
+
+    def debug_clients_data(self):
+        for i, dm in enumerate(self.client_data_managers):
+            print(f"\n=== Client {i} ===")
+            self.debug_print_samples(dm, subset="train_x")
+
+    def build_model_hook(self):  # pragma: no cover
+        pass
+
+    def test(self, split=None):
+        if self.check_weights_valid(self.global_weights):
+            self.broadcast_weights(self.global_weights, self.num_rounds)
+            return self.clients[0].test(split)
+        print("Global weights invalid, skipping test.")
+        return {}

@@ -109,3 +109,69 @@ def test_coop_lr_schedule_steps(data_root, tmp_path):
     trainer.update_lr()
     # cosine at epoch 1 of 2: lr * 0.5 * (1 + cos(pi/2)) = 0.5 * lr
     assert trainer.get_current_lr() == pytest.approx(0.01, rel=1e-5)
+
+
+def test_vpt_trains(data_root, tmp_path):
+    cfg = make_cfg(
+        data_root, "VPT", tmp_path / "vpt",
+        **{"TRAINER.VPT.PROMPT_DEPTH_VISION": 3, "TRAINER.VPT.N_CTX_VISION": 2},
+    )
+    trainer = build_trainer(cfg)
+    p0 = np.asarray(trainer.trainable["vpt"]["shallow"])
+    trainer.train()
+    p1 = np.asarray(trainer.trainable["vpt"]["shallow"])
+    assert not np.allclose(p0, p1)
+    assert len(trainer.trainable["vpt"]["deep"]) == 2
+
+
+def test_ivlp_trains(data_root, tmp_path):
+    cfg = make_cfg(
+        data_root, "IVLP", tmp_path / "ivlp",
+        **{
+            "TRAINER.IVLP.PROMPT_DEPTH_VISION": 3,
+            "TRAINER.IVLP.PROMPT_DEPTH_TEXT": 3,
+            "TRAINER.IVLP.N_CTX_VISION": 2,
+            "TRAINER.IVLP.N_CTX_TEXT": 2,
+        },
+    )
+    trainer = build_trainer(cfg)
+    ctx0 = np.asarray(trainer.trainable["prompt_learner"]["ctx"])
+    sh0 = np.asarray(trainer.trainable["vpt"]["shallow"])
+    trainer.train()
+    assert not np.allclose(ctx0, np.asarray(trainer.trainable["prompt_learner"]["ctx"]))
+    assert not np.allclose(sh0, np.asarray(trainer.trainable["vpt"]["shallow"]))
+    assert len(trainer.trainable["prompt_learner"]["deep_text"]) == 2
+
+
+def test_cocoop_trains_batched(data_root, tmp_path):
+    cfg = make_cfg(
+        data_root, "CoCoOp", tmp_path / "cocoop",
+        **{"TRAINER.COCOOP.N_CTX": 2, "TRAINER.COCOOP.CTX_INIT": ""},
+    )
+    trainer = build_trainer(cfg)
+    ctx0 = np.asarray(trainer.trainable["prompt_learner"]["ctx"])
+    m0 = np.asarray(trainer.trainable["prompt_learner"]["meta_net"]["linear1"]["w"])
+    trainer.train()
+    assert not np.allclose(ctx0, np.asarray(trainer.trainable["prompt_learner"]["ctx"]))
+    assert not np.allclose(
+        m0,
+        np.asarray(trainer.trainable["prompt_learner"]["meta_net"]["linear1"]["w"]),
+    )
+
+
+def test_cocoop_conditioning_is_per_image(data_root, tmp_path):
+    """Different images must produce different conditional text prompts:
+    check that permuting the batch permutes the logits rows identically."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(data_root, "CoCoOp", tmp_path / "ccd",
+                   **{"TRAINER.COCOOP.N_CTX": 2})
+    trainer = build_trainer(cfg)
+    batch = next(iter(trainer.test_loader))
+    images = trainer.parse_batch_images(batch)
+    logits = np.asarray(trainer.logits_fn(trainer.trainable, trainer.frozen, images))
+    perm = np.asarray([1, 0] + list(range(2, images.shape[0])))
+    logits_p = np.asarray(
+        trainer.logits_fn(trainer.trainable, trainer.frozen, images[perm])
+    )
+    np.testing.assert_allclose(logits[perm], logits_p, rtol=2e-2, atol=2e-2)
