@@ -1,0 +1,131 @@
+"""Benchmark: MaPLe fine-tune throughput (images/sec/chip) on TPU.
+
+Measures the full jitted training step — fused on-device preprocessing
+(uint8 canvas -> bicubic crop-resize + flip + CLIP-normalize), ViT-B/16
+image tower + text tower with deep multi-modal prompt coupling and the
+caption branch, CE + alignment loss, backward, SGD update with grad clip —
+i.e. everything the reference's ``forward_backward``
+(``trainers/maple.py:547-627``) does per batch.
+
+Baseline (BASELINE.md): the reference trains MaPLe on ImageNet 16-shot
+(16,000 images) for 5 epochs in ~1 hour on one A100 => ~22.2 images/sec.
+``vs_baseline`` is the multiple of that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_IPS = 16000 * 5 / 3600.0  # ~22.2 img/s (docs/RUN.md:8-10)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--n-cls", type=int, default=100)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--no-captions", action="store_true")
+    parser.add_argument("--depth", type=int, default=9)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from federated_multi_modal_tpu.flagship import build_maple_program
+    from federated_multi_modal_tpu.config import get_cfg_default
+    from federated_multi_modal_tpu.engine.optim import build_optimizer
+    from federated_multi_modal_tpu.ops.preprocess import (
+        crop_resize_flip_normalize,
+        sample_rrc_boxes,
+    )
+    from federated_multi_modal_tpu.tokenizer import tokenize
+
+    use_captions = not args.no_captions
+    classnames = [f"class {i}" for i in range(args.n_cls)]
+    prog = build_maple_program(
+        backbone="ViT-B/16",
+        classnames=classnames,
+        depth=args.depth,
+        use_captions=use_captions,
+    )
+
+    cfg = get_cfg_default()
+    cfg.OPTIM.LR = 0.0026
+    tx = build_optimizer(cfg.OPTIM)
+    opt_state = tx.init(prog["trainable"])
+    loss_fn = prog["loss_fn"]
+
+    def train_step(trainable, frozen, opt_state, canvas, boxes, flips, labels,
+                   caption_tokens):
+        images = crop_resize_flip_normalize(canvas, boxes, flips, out_size=224)
+        batch = {"image": images, "label": labels}
+        if use_captions:
+            batch["caption_tokens"] = caption_tokens
+
+        def wrapped(tr):
+            return loss_fn(tr, frozen, batch)
+
+        (loss, _), grads = jax.value_and_grad(wrapped, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = jax.tree_util.tree_map(
+            lambda p, u: p if u is None else p + u,
+            trainable, updates, is_leaf=lambda x: x is None,
+        )
+        return trainable, opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 2))
+
+    rng = np.random.default_rng(0)
+    B = args.batch_size
+    canvas = jnp.asarray(rng.integers(0, 255, (B, 256, 256, 3), np.uint8))
+    boxes_np, flips_np = sample_rrc_boxes(rng, B)
+    boxes = jnp.asarray(boxes_np)
+    flips = jnp.asarray(flips_np)
+    labels = jnp.asarray(rng.integers(0, args.n_cls, B), jnp.int32)
+    captions = jnp.asarray(
+        tokenize(["a satellite photo of a scene"] * B)
+    )
+
+    trainable, opt_state_l = prog["trainable"], opt_state
+    frozen = prog["frozen"]
+    # warmup / compile
+    for _ in range(args.warmup):
+        trainable, opt_state_l, loss = step(
+            trainable, frozen, opt_state_l, canvas, boxes, flips, labels,
+            captions,
+        )
+    jax.device_get(loss)  # tunnel backends: block_until_ready returns early
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        trainable, opt_state_l, loss = step(
+            trainable, frozen, opt_state_l, canvas, boxes, flips, labels,
+            captions,
+        )
+    loss_val = float(jax.device_get(loss))
+    dt = time.time() - t0
+
+    ips = args.steps * B / dt
+    result = {
+        "metric": "maple_train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / A100_BASELINE_IPS, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# batch={B} n_cls={args.n_cls} steps={args.steps} "
+        f"wall={dt:.2f}s loss={loss_val:.4f} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

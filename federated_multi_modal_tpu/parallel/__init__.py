@@ -1,0 +1,15 @@
+from federated_multi_modal_tpu.parallel.mesh import make_client_mesh
+from federated_multi_modal_tpu.parallel.fedavg import (
+    build_parallel_fed_step,
+    fedavg_over_clients,
+    stack_client_trees,
+    unstack_client_trees,
+)
+
+__all__ = [
+    "make_client_mesh",
+    "build_parallel_fed_step",
+    "fedavg_over_clients",
+    "stack_client_trees",
+    "unstack_client_trees",
+]

@@ -1,0 +1,142 @@
+"""Parallel federated training over a ``("client", "data")`` mesh.
+
+Replaces the reference's sequential client loop
+(``trainers/maple_fed.py:247-260``) with genuinely parallel clients:
+
+* per-client trainable pytrees and optimizer states are **stacked** along a
+  leading client axis and sharded over the mesh's ``client`` axis;
+* the frozen CLIP tower is **replicated** (every chip keeps one copy);
+* batches are ``(C, B, ...)`` — client axis sharded over ``client``, batch
+  axis sharded over ``data``;
+* one jitted program runs ``vmap(local_sgd_step)`` over the client axis —
+  XLA partitions the vmapped dimension across chip groups and inserts the
+  gradient all-reduce over the ``data`` axis automatically;
+* FedAvg (``safe_average_weights``, ``maple_fed.py:309-315``) is a mean
+  over the client axis — a single ``all_reduce`` over ICI.
+
+This module is deliberately model-agnostic: it takes the same
+``loss_fn(trainable, frozen, batch) -> (loss, aux)`` contract the trainers
+already define.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _is_none(x):
+    return x is None
+
+
+def stack_client_trees(trees):
+    """Stack N same-structure client pytrees along a new leading axis."""
+
+    def stack(*leaves):
+        if leaves[0] is None:
+            return None
+        return jnp.stack(leaves)
+
+    return jax.tree_util.tree_map(stack, *trees, is_leaf=_is_none)
+
+
+def unstack_client_trees(stacked, n: int):
+    """Inverse of :func:`stack_client_trees`."""
+    out = []
+    for i in range(n):
+        out.append(
+            jax.tree_util.tree_map(
+                lambda x: None if x is None else x[i], stacked, is_leaf=_is_none
+            )
+        )
+    return out
+
+
+def fedavg_over_clients(stacked_trainable, scrub: bool = True):
+    """FedAvg over the leading client axis, with the reference's non-finite
+    scrubbing; returns the averaged tree broadcast back to (C, ...)."""
+
+    def avg(x):
+        if x is None:
+            return None
+        x32 = x.astype(jnp.float32)
+        if scrub:
+            x32 = jnp.nan_to_num(x32, nan=0.0, posinf=1e4, neginf=-1e4)
+        mean = jnp.mean(x32, axis=0, keepdims=True).astype(x.dtype)
+        return jnp.broadcast_to(mean, x.shape)
+
+    return jax.tree_util.tree_map(avg, stacked_trainable, is_leaf=_is_none)
+
+
+def client_sharding(mesh: Mesh, tree):
+    """Stacked client trees: leading axis over the ``client`` mesh axis."""
+
+    def spec(x):
+        if x is None:
+            return None
+        return NamedSharding(mesh, P("client"))
+
+    return jax.tree_util.tree_map(spec, tree, is_leaf=_is_none)
+
+
+def replicated_sharding(mesh: Mesh, tree):
+    def spec(x):
+        if x is None:
+            return None
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree, is_leaf=_is_none)
+
+
+def batch_sharding(mesh: Mesh, tree):
+    """Batches ``(C, B, ...)``: client axis then data axis."""
+
+    def spec(x):
+        return NamedSharding(mesh, P("client", "data"))
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def build_parallel_fed_step(
+    loss_fn: Callable,
+    tx,
+    mesh: Mesh,
+    fedavg_every_step: bool = False,
+):
+    """Compile one SPMD program: every client takes a local SGD step on its
+    own shard of data; optionally FedAvg afterwards (for LOCAL_EPOCHS-step
+    rounds, call the step repeatedly and ``fedavg_over_clients`` at round
+    end instead).
+
+    Returns ``step(stacked_trainable, frozen, stacked_opt_state, batch) ->
+    (stacked_trainable, stacked_opt_state, loss (C,))``.
+    """
+
+    def local_step(trainable, frozen, opt_state, batch):
+        def wrapped(tr):
+            return loss_fn(tr, frozen, batch)
+
+        (loss, _aux), grads = jax.value_and_grad(wrapped, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = jax.tree_util.tree_map(
+            lambda p, u: p if u is None else p + u,
+            trainable,
+            updates,
+            is_leaf=_is_none,
+        )
+        return trainable, opt_state, loss
+
+    def step(stacked_trainable, frozen, stacked_opt_state, batch):
+        vstep = jax.vmap(local_step, in_axes=(0, None, 0, 0))
+        stacked_trainable, stacked_opt_state, losses = vstep(
+            stacked_trainable, frozen, stacked_opt_state, batch
+        )
+        if fedavg_every_step:
+            stacked_trainable = fedavg_over_clients(stacked_trainable)
+        return stacked_trainable, stacked_opt_state, losses
+
+    with mesh:
+        return jax.jit(step, donate_argnums=(0, 2))
