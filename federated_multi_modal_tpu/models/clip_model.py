@@ -136,6 +136,21 @@ def encode_image(
     return feats.astype(jnp.float32)
 
 
+def encode_image_auto(params, cfg: CLIPConfig, images: jax.Array, **prompt_kwargs):
+    """Dispatch to the ViT or ModifiedResNet tower by architecture.
+
+    Prompt injection is a ViT-only feature (the reference's RN path has no
+    prompt variants either, ``clip/model.py:596-626``).
+    """
+    if cfg.is_vit:
+        return encode_image(params, cfg, images, **prompt_kwargs)
+    if any(v is not None for v in prompt_kwargs.values()):
+        raise ValueError("Visual prompting requires a ViT backbone")
+    from federated_multi_modal_tpu.models.resnet import encode_image_resnet
+
+    return encode_image_resnet(params, cfg.resnet_config(), images)
+
+
 # --------------------------------------------------------------------------
 # text tower
 # --------------------------------------------------------------------------

@@ -47,9 +47,10 @@ import numpy as np
 @dataclasses.dataclass(frozen=True)
 class CLIPConfig:
     embed_dim: int = 512
-    # vision
+    # vision: int layer count = ViT; tuple of 4 = ModifiedResNet stage sizes
+    # (the reference distinguishes identically, ``clip/model.py:596-626``)
     image_resolution: int = 224
-    vision_layers: int = 12
+    vision_layers: object = 12
     vision_width: int = 768
     vision_patch_size: int = 16
     # text
@@ -60,8 +61,14 @@ class CLIPConfig:
     transformer_layers: int = 12
 
     @property
+    def is_vit(self) -> bool:
+        return isinstance(self.vision_layers, int)
+
+    @property
     def vision_heads(self) -> int:
-        return self.vision_width // 64
+        if self.is_vit:
+            return self.vision_width // 64
+        return self.vision_width * 32 // 64
 
     @property
     def grid_size(self) -> int:
@@ -71,12 +78,30 @@ class CLIPConfig:
     def num_patches(self) -> int:
         return self.grid_size ** 2
 
+    def resnet_config(self):
+        from federated_multi_modal_tpu.models.resnet import ResNetConfig
+
+        return ResNetConfig(
+            layers=tuple(self.vision_layers),
+            output_dim=self.embed_dim,
+            width=self.vision_width,
+            input_resolution=self.image_resolution,
+        )
+
 
 # Known OpenAI backbones the reference downloads (``clip/clip.py:29-37``),
 # plus the miniature test backbone.
 BACKBONE_CONFIGS = {
     "ViT-B/16": CLIPConfig(),
     "ViT-B/32": CLIPConfig(vision_patch_size=32),
+    "RN50": CLIPConfig(
+        embed_dim=1024, vision_layers=(3, 4, 6, 3), vision_width=64,
+        vision_patch_size=0,
+    ),
+    "RN101": CLIPConfig(
+        embed_dim=512, vision_layers=(3, 4, 23, 3), vision_width=64,
+        vision_patch_size=0,
+    ),
     "Tiny": None,  # replaced below (tiny_test_config not yet defined here)
     "ViT-L/14": CLIPConfig(
         embed_dim=768,
@@ -121,7 +146,10 @@ COMPUTE_DTYPE = jnp.bfloat16
 
 
 def _is_norm_path(path: str) -> bool:
-    return any(k in path for k in ("ln_1", "ln_2", "ln_pre", "ln_post", "ln_final"))
+    if any(k in path for k in ("ln_1", "ln_2", "ln_pre", "ln_post", "ln_final")):
+        return True
+    # ResNet BatchNorm stats/affines stay fp32 (bn1/bn2/bn3/downsample bn)
+    return any(seg.startswith("bn") or seg == "bn" for seg in path.split("/"))
 
 
 def apply_dtype_policy(params, compute_dtype=COMPUTE_DTYPE):
@@ -177,24 +205,30 @@ def init_clip_params(
         key = jax.random.PRNGKey(0)
     kv, kt, kc, kp, kproj, ktok, ktpos, ktxtp = jax.random.split(key, 8)
 
-    w = cfg.vision_width
-    scale = w ** -0.5
-    patch_dim = cfg.vision_patch_size ** 2 * 3
-    visual = {
-        "conv1": {
-            "w": jax.random.normal(kc, (patch_dim, w)) * (patch_dim ** -0.5)
-        },
-        "class_embedding": jax.random.normal(kp, (w,)) * scale,
-        "positional_embedding": jax.random.normal(kv, (cfg.num_patches + 1, w))
-        * scale,
-        "ln_pre": {"scale": jnp.ones(w), "bias": jnp.zeros(w)},
-        "blocks": [
-            _init_block(k, w)
-            for k in jax.random.split(kv, cfg.vision_layers)
-        ],
-        "ln_post": {"scale": jnp.ones(w), "bias": jnp.zeros(w)},
-        "proj": jax.random.normal(kproj, (w, cfg.embed_dim)) * scale,
-    }
+    if cfg.is_vit:
+        w = cfg.vision_width
+        scale = w ** -0.5
+        patch_dim = cfg.vision_patch_size ** 2 * 3
+        visual = {
+            "conv1": {
+                "w": jax.random.normal(kc, (patch_dim, w)) * (patch_dim ** -0.5)
+            },
+            "class_embedding": jax.random.normal(kp, (w,)) * scale,
+            "positional_embedding": jax.random.normal(
+                kv, (cfg.num_patches + 1, w)
+            ) * scale,
+            "ln_pre": {"scale": jnp.ones(w), "bias": jnp.zeros(w)},
+            "blocks": [
+                _init_block(k, w)
+                for k in jax.random.split(kv, cfg.vision_layers)
+            ],
+            "ln_post": {"scale": jnp.ones(w), "bias": jnp.zeros(w)},
+            "proj": jax.random.normal(kproj, (w, cfg.embed_dim)) * scale,
+        }
+    else:
+        from federated_multi_modal_tpu.models.resnet import init_resnet_params
+
+        visual = init_resnet_params(cfg.resnet_config(), kv)
 
     d = cfg.transformer_width
     text = {
@@ -226,17 +260,29 @@ def init_clip_params(
 
 def infer_config_from_state_dict(sd) -> CLIPConfig:
     """Shape inference from an OpenAI CLIP state dict (mirrors
-    ``clip.build_model``, reference ``clip/model.py:750-776``; ViT only —
-    the ResNet path has its own converter in ``models/resnet.py``)."""
-    if "visual.proj" not in sd:
-        raise ValueError("ResNet CLIP checkpoints: use models.resnet converter")
-    vision_width = sd["visual.conv1.weight"].shape[0]
-    vision_layers = len(
-        [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
-    )
-    vision_patch_size = sd["visual.conv1.weight"].shape[-1]
-    grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
-    image_resolution = vision_patch_size * grid
+    ``clip.build_model``, reference ``clip/model.py:750-776``; handles both
+    ViT and ModifiedResNet checkpoints)."""
+    if "visual.proj" in sd:
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        vision_layers = len(
+            [k for k in sd
+             if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
+        )
+        vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+        grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = vision_patch_size * grid
+    else:
+        counts = [
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")})
+            for b in (1, 2, 3, 4)
+        ]
+        vision_layers = tuple(counts)
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        out_width = round(
+            (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5
+        )
+        vision_patch_size = 0
+        image_resolution = out_width * 32
 
     embed_dim = sd["text_projection"].shape[1]
     context_length = sd["positional_embedding"].shape[0]
@@ -304,27 +350,32 @@ def convert_torch_state_dict(
     if cfg is None:
         cfg = infer_config_from_state_dict(sd)
 
-    conv_w = _np(sd["visual.conv1.weight"])  # (O, I, kH, kW)
-    conv_w = conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0])
+    if cfg.is_vit:
+        conv_w = _np(sd["visual.conv1.weight"])  # (O, I, kH, kW)
+        conv_w = conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0])
 
-    visual = {
-        "conv1": {"w": conv_w},
-        "class_embedding": _np(sd["visual.class_embedding"]),
-        "positional_embedding": _np(sd["visual.positional_embedding"]),
-        "ln_pre": {
-            "scale": _np(sd["visual.ln_pre.weight"]),
-            "bias": _np(sd["visual.ln_pre.bias"]),
-        },
-        "blocks": [
-            _convert_block(sd, f"visual.transformer.resblocks.{i}")
-            for i in range(cfg.vision_layers)
-        ],
-        "ln_post": {
-            "scale": _np(sd["visual.ln_post.weight"]),
-            "bias": _np(sd["visual.ln_post.bias"]),
-        },
-        "proj": _np(sd["visual.proj"]),
-    }
+        visual = {
+            "conv1": {"w": conv_w},
+            "class_embedding": _np(sd["visual.class_embedding"]),
+            "positional_embedding": _np(sd["visual.positional_embedding"]),
+            "ln_pre": {
+                "scale": _np(sd["visual.ln_pre.weight"]),
+                "bias": _np(sd["visual.ln_pre.bias"]),
+            },
+            "blocks": [
+                _convert_block(sd, f"visual.transformer.resblocks.{i}")
+                for i in range(cfg.vision_layers)
+            ],
+            "ln_post": {
+                "scale": _np(sd["visual.ln_post.weight"]),
+                "bias": _np(sd["visual.ln_post.bias"]),
+            },
+            "proj": _np(sd["visual.proj"]),
+        }
+    else:
+        from federated_multi_modal_tpu.models.resnet import convert_torch_resnet
+
+        visual = convert_torch_resnet(sd, cfg.resnet_config())
     text = {
         "token_embedding": _np(sd["token_embedding.weight"]),
         "positional_embedding": _np(sd["positional_embedding"]),

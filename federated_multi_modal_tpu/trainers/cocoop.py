@@ -19,7 +19,10 @@ import optax
 from federated_multi_modal_tpu.engine.checkpoint import flatten_params, unflatten_into
 from federated_multi_modal_tpu.engine.registry import TRAINER_REGISTRY
 from federated_multi_modal_tpu.engine.trainer import FunctionalTrainerMixin, TrainerX
-from federated_multi_modal_tpu.models.clip_model import encode_image, encode_text_embedded
+from federated_multi_modal_tpu.models.clip_model import (
+    encode_image_auto as encode_image,
+    encode_text_embedded,
+)
 from federated_multi_modal_tpu.models.params import load_clip_backbone
 from federated_multi_modal_tpu.ops.primitives import l2_normalize
 from federated_multi_modal_tpu.trainers.common import (

@@ -17,7 +17,7 @@ from federated_multi_modal_tpu.engine.registry import TRAINER_REGISTRY
 from federated_multi_modal_tpu.engine.trainer import FunctionalTrainerMixin, TrainerX
 from federated_multi_modal_tpu.models.clip_model import (
     cosine_logits,
-    encode_image,
+    encode_image_auto as encode_image,
     encode_text_embedded,
 )
 from federated_multi_modal_tpu.models.params import load_clip_backbone

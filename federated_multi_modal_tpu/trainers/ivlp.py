@@ -79,15 +79,12 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
 
         deep_text_keys = jax.random.split(k_deep_t, max(1, depth_text - 1))
         vis_keys = jax.random.split(k_vis, max(1, depth_vis))
-        self.trainable = {
-            "prompt_learner": {
-                "ctx": ctx,
-                "deep_text": [
-                    random_ctx_vectors(k, n_ctx_text, ctx_dim)
-                    for k in deep_text_keys[: depth_text - 1]
-                ],
-            },
-            "vpt": {
+        # N_CTX_VISION=0 / PROMPT_DEPTH_VISION=0 degenerates to deep
+        # language prompting only (IVLP/...4ctx_language_only.yaml)
+        use_vision = n_ctx_vis > 0 and depth_vis > 0
+        vpt = {}
+        if use_vision:
+            vpt = {
                 "shallow": jax.random.normal(
                     vis_keys[0], (n_ctx_vis, arch.vision_width)
                 ).astype(jnp.float32) * 0.02,
@@ -96,7 +93,16 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
                      ).astype(jnp.float32)
                     for k in vis_keys[1:depth_vis]
                 ],
+            }
+        self.trainable = {
+            "prompt_learner": {
+                "ctx": ctx,
+                "deep_text": [
+                    random_ctx_vectors(k, n_ctx_text, ctx_dim)
+                    for k in deep_text_keys[: depth_text - 1]
+                ],
             },
+            "vpt": vpt,
         }
         self.frozen = {
             "clip": clip_params,
@@ -120,8 +126,8 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
             )
             img = encode_image(
                 frozen["clip"]["visual"], arch, images,
-                shallow_prompts=trainable["vpt"]["shallow"],
-                deep_prompts=trainable["vpt"]["deep"],
+                shallow_prompts=trainable["vpt"].get("shallow"),
+                deep_prompts=trainable["vpt"].get("deep"),
             )
             return cosine_logits(img, txt, frozen["clip"]["logit_scale"])
 

@@ -10,7 +10,10 @@ import jax.numpy as jnp
 
 from federated_multi_modal_tpu.engine.registry import TRAINER_REGISTRY
 from federated_multi_modal_tpu.engine.trainer import TrainerX
-from federated_multi_modal_tpu.models.clip_model import encode_image, encode_text_tokens
+from federated_multi_modal_tpu.models.clip_model import (
+    encode_image_auto as encode_image,
+    encode_text_tokens,
+)
 from federated_multi_modal_tpu.models.params import load_clip_backbone
 from federated_multi_modal_tpu.ops.primitives import l2_normalize
 from federated_multi_modal_tpu.tokenizer import tokenize
