@@ -188,6 +188,18 @@ class MaPLeFederated(TrainerX):
     # C) federated round loop (reference :228-303)
     # ------------------------------------------------------------------
     def train(self):
+        if self.cfg.FED.PARALLEL_CLIENTS:
+            n_dev = jax.device_count()
+            if n_dev >= self.num_clients and n_dev % max(1, self.num_clients) == 0:
+                return self._train_parallel()
+            print(
+                f"[FED] PARALLEL_CLIENTS requested but {n_dev} device(s) "
+                f"don't tile {self.num_clients} clients; falling back to "
+                "sequential rounds."
+            )
+        return self._train_sequential()
+
+    def _train_sequential(self):
         for round_idx in range(self.num_rounds):
             print(f"\n--- Federated Round {round_idx + 1}/{self.num_rounds} ---")
 
@@ -248,6 +260,120 @@ class MaPLeFederated(TrainerX):
             else:
                 print("Global weights invalid after aggregation, skipping test.")
 
+        self.finalize_training()
+
+    # ------------------------------------------------------------------
+    # C') SPMD round loop: clients as a mesh axis (TPU-native replacement
+    #     for the sequential loop; see parallel/fedavg.py)
+    # ------------------------------------------------------------------
+    def _train_parallel(self):
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from federated_multi_modal_tpu.parallel import (
+            build_parallel_fed_step,
+            fedavg_over_clients,
+            stack_client_trees,
+            unstack_client_trees,
+        )
+        from federated_multi_modal_tpu.parallel.mesh import make_client_mesh
+
+        C = self.num_clients
+        mesh = make_client_mesh(C)
+        print(f"[FED] parallel clients over mesh {dict(mesh.shape)}")
+        client0 = self.clients[0]
+        tx = client0.tx
+        sched = client0.sched_fn
+
+        step = build_parallel_fed_step(client0.loss_fn, tx, mesh)
+
+        def shard(tree, spec):
+            return jax.tree_util.tree_map(
+                lambda x: None if x is None
+                else jax.device_put(x, NamedSharding(mesh, spec)),
+                tree, is_leaf=lambda x: x is None,
+            )
+
+        frozen = shard(client0.frozen, P())
+        global_tree = self.global_weights
+
+        def broadcast(global_tree, epoch):
+            stacked = stack_client_trees([global_tree] * C)
+            stacked = shard(stacked, P("client"))
+            opt = stack_client_trees([tx.init(global_tree)] * C)
+            opt.hyperparams["learning_rate"] = jnp.full((C,), sched(epoch))
+            return stacked, opt
+
+        def stacked_batches(epoch_loaders):
+            """Zip per-client loaders into (C, B, ...) step batches."""
+            for steps in zip(*epoch_loaders):
+                parsed = [
+                    trainer.parse_batch_train(b)
+                    for trainer, b in zip(self.clients, steps)
+                ]
+                yield {
+                    k: jax.device_put(
+                        jnp.stack([p[k] for p in parsed]),
+                        NamedSharding(mesh, P("client", "data")),
+                    )
+                    for k in parsed[0]
+                }
+
+        for round_idx in range(self.num_rounds):
+            print(f"\n--- Federated Round {round_idx + 1}/{self.num_rounds} "
+                  "(parallel) ---")
+            if not self.check_weights_valid(global_tree):
+                print("Invalid global weights detected! Skipping round.")
+                self.nan_stats["skipped_rounds"] += 1
+                continue
+
+            epoch0 = round_idx * self.local_epochs
+            stacked, opt = broadcast(global_tree, epoch0)
+
+            losses = None
+            for le in range(self.local_epochs):
+                loaders = [iter(t.train_loader_x) for t in self.clients]
+                for batch in stacked_batches(loaders):
+                    stacked, opt, losses = step(stacked, frozen, opt, batch)
+                # per-epoch cosine step at the global epoch
+                opt.hyperparams["learning_rate"] = jnp.full(
+                    (C,), sched(epoch0 + le + 1)
+                )
+            if losses is not None:
+                loss_vals = np.asarray(jax.device_get(losses))
+                print(
+                    f"[Round {round_idx + 1}] last-step losses per client = "
+                    f"{np.round(loss_vals, 4).tolist()}"
+                )
+
+            # validity gate + FedAvg over the client axis (one all-reduce)
+            if self.check_weights_valid(stacked):
+                with mesh:
+                    averaged = jax.jit(fedavg_over_clients)(stacked)
+                global_tree = unstack_client_trees(averaged, 1)[0]
+                self.nan_stats["total_updates"] += 1
+            else:
+                # fall back per client like the reference's per-client gate
+                client_trees = unstack_client_trees(stacked, C)
+                valid = [t for t in client_trees if self.check_weights_valid(t)]
+                if valid:
+                    global_tree = safe_average_trees(valid)
+                    self.nan_stats["total_updates"] += 1
+                else:
+                    print("All clients failed! Reverting to previous global model.")
+                    self.nan_stats["skipped_rounds"] += 1
+
+            # round-end test on client 0
+            if self.check_weights_valid(global_tree):
+                self.global_weights = copy_tree(global_tree)
+                self.broadcast_weights(self.global_weights, round_idx, advance=True)
+                test_res = self.clients[0].test()
+                print(
+                    f"[Round {round_idx + 1}] Test accuracy (client 0) = "
+                    f"{test_res['accuracy']:.2f}%"
+                )
+
+        self.global_weights = copy_tree(global_tree)
         self.finalize_training()
 
     # ------------------------------------------------------------------

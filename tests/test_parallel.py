@@ -1,0 +1,139 @@
+"""Multi-chip SPMD tests on the 8-virtual-device CPU mesh: the parallel
+federated step, FedAvg collective, and the parallel MaPLeFederated path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import federated_multi_modal_tpu.trainers  # noqa: F401
+from federated_multi_modal_tpu.config import get_cfg_default
+from federated_multi_modal_tpu.engine import build_trainer
+from federated_multi_modal_tpu.flagship import (
+    build_fed_optimizer,
+    build_maple_program,
+    example_batch,
+)
+from federated_multi_modal_tpu.parallel import (
+    build_parallel_fed_step,
+    fedavg_over_clients,
+    stack_client_trees,
+    unstack_client_trees,
+)
+from federated_multi_modal_tpu.parallel.mesh import make_client_mesh
+
+
+def test_mesh_shape():
+    mesh = make_client_mesh(2)
+    assert dict(mesh.shape) == {"client": 2, "data": 4}
+    mesh3 = make_client_mesh(3)  # 8 % 3 != 0 -> falls back to one group
+    assert dict(mesh3.shape) == {"client": 1, "data": 8}
+
+
+def test_stack_unstack_roundtrip():
+    t1 = {"a": jnp.ones((2, 3)), "b": None}
+    t2 = {"a": jnp.zeros((2, 3)), "b": None}
+    stacked = stack_client_trees([t1, t2])
+    assert stacked["a"].shape == (2, 2, 3)
+    back = unstack_client_trees(stacked, 2)
+    np.testing.assert_allclose(np.asarray(back[0]["a"]), 1.0)
+    np.testing.assert_allclose(np.asarray(back[1]["a"]), 0.0)
+    assert back[0]["b"] is None
+
+
+def test_parallel_fed_step_runs_and_diverges():
+    """Two clients with different data must produce different updates;
+    FedAvg must replicate the average."""
+    prog = build_maple_program(backbone="Tiny", depth=3, use_captions=False)
+    tx = build_fed_optimizer(lr=0.05)
+    mesh = make_client_mesh(2)
+
+    C = 2
+    stacked = stack_client_trees([prog["trainable"]] * C)
+    opt = stack_client_trees([tx.init(prog["trainable"])] * C)
+
+    def shard(tree, spec):
+        return jax.tree_util.tree_map(
+            lambda x: None if x is None
+            else jax.device_put(x, NamedSharding(mesh, spec)),
+            tree, is_leaf=lambda x: x is None,
+        )
+
+    stacked = shard(stacked, P("client"))
+    frozen = shard(prog["frozen"], P())
+
+    b0 = example_batch(prog["arch"], batch_size=4, n_cls=prog["n_cls"],
+                       use_captions=False, seed=0)
+    b1 = example_batch(prog["arch"], batch_size=4, n_cls=prog["n_cls"],
+                       use_captions=False, seed=1)
+    batch = {
+        k: jax.device_put(
+            jnp.stack([b0[k], b1[k]]), NamedSharding(mesh, P("client", "data"))
+        )
+        for k in b0
+    }
+
+    step = build_parallel_fed_step(prog["loss_fn"], tx, mesh)
+    stacked, opt, losses = step(stacked, frozen, opt, batch)
+    losses = np.asarray(jax.device_get(losses))
+    assert losses.shape == (2,)
+    assert np.isfinite(losses).all()
+
+    # different data -> different client params
+    clients = unstack_client_trees(stacked, 2)
+    ctx0 = np.asarray(clients[0]["prompt_learner"]["ctx"])
+    ctx1 = np.asarray(clients[1]["prompt_learner"]["ctx"])
+    assert not np.allclose(ctx0, ctx1)
+
+    # FedAvg replicates the mean
+    with mesh:
+        averaged = jax.jit(fedavg_over_clients)(stacked)
+    avg = unstack_client_trees(averaged, 2)
+    a0 = np.asarray(avg[0]["prompt_learner"]["ctx"])
+    a1 = np.asarray(avg[1]["prompt_learner"]["ctx"])
+    np.testing.assert_allclose(a0, a1)
+    np.testing.assert_allclose(a0, (ctx0 + ctx1) / 2, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    return tmp_path_factory.mktemp("dataroot")
+
+
+def test_federated_parallel_clients_path(data_root, tmp_path):
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(data_root)
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.MODEL.BACKBONE.NAME = "Tiny"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.CANVAS_SIZE = 40
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 8
+    cfg.OPTIM.MAX_EPOCH = 2
+    cfg.OPTIM.LR = 0.01
+    cfg.TRAIN.PRINT_FREQ = 100
+    cfg.TRAINER.NAME = "MaPLeFederated"
+    cfg.TRAINER.MAPLE.PROMPT_DEPTH = 3
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    cfg.FED.NUM_CLIENTS = 2
+    cfg.FED.NUM_ROUNDS = 1
+    cfg.FED.LOCAL_EPOCHS = 1
+    cfg.FED.DATASETS = ("Synthetic", "Synthetic")
+    cfg.FED.CLASSNAME_ONLY_DATASETS = ()
+    cfg.FED.PARALLEL_CLIENTS = True
+
+    fed = build_trainer(cfg)
+    g0 = jax.tree_util.tree_map(
+        lambda x: None if x is None else np.asarray(x),
+        fed.global_weights, is_leaf=lambda x: x is None,
+    )
+    fed.train()
+    moved = jax.tree_util.tree_map(
+        lambda a, b: None if a is None else float(np.abs(np.asarray(a) - b).max()),
+        fed.global_weights, g0, is_leaf=lambda x: x is None,
+    )
+    assert max(v for v in jax.tree_util.tree_leaves(moved)) > 0
+    assert fed.nan_stats["total_updates"] == 1
