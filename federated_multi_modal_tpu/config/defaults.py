@@ -132,6 +132,7 @@ def get_cfg_default() -> CN:
     cfg.TRAIN.CHECKPOINT_FREQ = 0
     cfg.TRAIN.PRINT_FREQ = 10
     cfg.TRAIN.COUNT_ITER = "train_x"
+    cfg.TRAIN.PROFILE_DIR = ""  # jax.profiler trace output (empty = off)
 
     # ------------------------------------------------------------------- test
     cfg.TEST = CN()
@@ -193,6 +194,9 @@ def get_cfg_default() -> CN:
     cfg.FED.PARALLEL_CLIENTS = False
     cfg.FED.DATASETS = ("PatternNet", "Ucmerced")
     cfg.FED.CLASSNAME_ONLY_DATASETS = ("EuroSAT", )
+    # preemption safety on TPU slices: checkpoint the aggregator every
+    # round and resume from the newest round checkpoint (SURVEY §5)
+    cfg.FED.CHECKPOINT_EVERY_ROUND = False
 
     # --------------------------------------------------------------------- tpu
     cfg.TPU = CN()

@@ -64,7 +64,6 @@ def unflatten_into(tree, flat: Dict[str, np.ndarray], prefix: str = "",
         if prefix:
             name = f"{prefix}.{name}" if name else prefix
         if name in flat:
-            used.add(name)
             arr = np.asarray(flat[name])
             if arr.shape != tuple(leaf.shape):
                 if strict:
@@ -73,6 +72,7 @@ def unflatten_into(tree, flat: Dict[str, np.ndarray], prefix: str = "",
                         f"vs model {tuple(leaf.shape)}"
                     )
                 return leaf
+            used.add(name)
             return jax.numpy.asarray(arr, dtype=leaf.dtype)
         if strict:
             raise KeyError(f"Missing key in checkpoint: {name}")

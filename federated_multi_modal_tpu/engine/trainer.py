@@ -223,6 +223,12 @@ class TrainerBase:
         print("Finished training")
 
     def run_epoch(self):
+        from federated_multi_modal_tpu.utils.profiling import trace
+
+        with trace(self.cfg.TRAIN.PROFILE_DIR):
+            return self._run_epoch_inner()
+
+    def _run_epoch_inner(self):
         self.set_model_mode("train")
         losses = []
         self.num_batches = len(self.train_loader_x)

@@ -199,8 +199,62 @@ class MaPLeFederated(TrainerX):
             )
         return self._train_sequential()
 
+    def _resume_round(self) -> int:
+        """Resume from the newest per-round aggregator checkpoint
+        (preemption safety; enabled by FED.CHECKPOINT_EVERY_ROUND +
+        RESUME)."""
+        if not self.cfg.RESUME:
+            return 0
+        import glob
+
+        pattern = osp.join(
+            self.cfg.RESUME, "MultiModalPromptLearner_Aggregator",
+            "model.pth.tar-round*",
+        )
+        rounds = []
+        for path in glob.glob(pattern):
+            try:
+                rounds.append((int(path.rsplit("round", 1)[1]), path))
+            except ValueError:
+                continue
+        if not rounds:
+            return 0
+        rnd, path = max(rounds)
+        from federated_multi_modal_tpu.engine.checkpoint import (
+            drop_class_conditioned,
+            unflatten_into,
+        )
+
+        ckpt = load_checkpoint(path)
+        flat = drop_class_conditioned(ckpt["state_dict"])
+        self.global_weights, _ = unflatten_into(self.global_weights, flat)
+        print(f"[FED] resumed round {rnd} from {path}")
+        return rnd
+
+    def _save_round(self, round_idx: int):
+        if not self.cfg.FED.CHECKPOINT_EVERY_ROUND:
+            return
+        from federated_multi_modal_tpu.engine.checkpoint import flatten_params
+
+        target_dir = osp.join(
+            self.cfg.OUTPUT_DIR, "MultiModalPromptLearner_Aggregator"
+        )
+        checkpoint = {
+            "epoch": (round_idx + 1) * self.local_epochs,
+            "state_dict": flatten_params(self.global_weights),
+            "optimizer": None,
+            "scheduler": None,
+            "val_result": None,
+            "cfg": self.cfg.dump(),
+        }
+        save_checkpoint(
+            checkpoint, target_dir,
+            model_name=f"model.pth.tar-round{round_idx + 1}",
+        )
+
     def _train_sequential(self):
-        for round_idx in range(self.num_rounds):
+        start_round = self._resume_round()
+        for round_idx in range(start_round, self.num_rounds):
             print(f"\n--- Federated Round {round_idx + 1}/{self.num_rounds} ---")
 
             if self.check_weights_valid(self.global_weights):
@@ -259,6 +313,8 @@ class MaPLeFederated(TrainerX):
                 )
             else:
                 print("Global weights invalid after aggregation, skipping test.")
+
+            self._save_round(round_idx)
 
         self.finalize_training()
 
@@ -372,6 +428,7 @@ class MaPLeFederated(TrainerX):
                     f"[Round {round_idx + 1}] Test accuracy (client 0) = "
                     f"{test_res['accuracy']:.2f}%"
                 )
+                self._save_round(round_idx)
 
         self.global_weights = copy_tree(global_tree)
         self.finalize_training()

@@ -1,0 +1,179 @@
+"""Engine-level tests: optimizer parity vs torch SGD, LR schedule math,
+checkpoint flatten/unflatten, resume, evaluator output contract."""
+
+import io
+import os
+import re
+from contextlib import redirect_stdout
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from federated_multi_modal_tpu.config import get_cfg_default
+from federated_multi_modal_tpu.engine.checkpoint import (
+    drop_class_conditioned,
+    flatten_params,
+    load_checkpoint,
+    save_checkpoint,
+    unflatten_into,
+)
+from federated_multi_modal_tpu.engine.evaluator import Classification, compute_accuracy
+from federated_multi_modal_tpu.engine.optim import (
+    build_lr_schedule,
+    build_optimizer,
+    set_learning_rate,
+)
+
+
+def test_sgd_matches_torch_with_clip_and_decay(rng):
+    """Full chain parity: clip(1.0) -> weight decay -> momentum -> lr."""
+    cfg = get_cfg_default()
+    cfg.OPTIM.LR = 0.1
+    cfg.OPTIM.MOMENTUM = 0.9
+    cfg.OPTIM.WEIGHT_DECAY = 0.01
+    cfg.OPTIM.GRAD_CLIP_NORM = 1.0
+
+    w0 = rng.standard_normal(10).astype(np.float32)
+    grads = [rng.standard_normal(10).astype(np.float32) * 3 for _ in range(5)]
+
+    # torch reference
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([wt], lr=0.1, momentum=0.9, weight_decay=0.01)
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([wt], max_norm=1.0)
+        opt.step()
+
+    # ours
+    tx = build_optimizer(cfg.OPTIM)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), wt.detach().numpy(), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_cosine_schedule_matches_torch():
+    cfg = get_cfg_default()
+    cfg.OPTIM.LR = 0.0035
+    cfg.OPTIM.MAX_EPOCH = 9
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = 1e-5
+    sched = build_lr_schedule(cfg.OPTIM)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.0035)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=9)
+    # warmup epoch 0 uses the constant LR
+    assert sched(0) == pytest.approx(1e-5)
+    for epoch in range(1, 9):
+        # torch cosine at last_epoch=epoch
+        for _ in range(epoch - tsched.last_epoch):
+            tsched.step()
+        torch_lr = opt.param_groups[0]["lr"]
+        assert sched(epoch) == pytest.approx(torch_lr, rel=1e-6), epoch
+
+
+def test_lr_injection():
+    cfg = get_cfg_default()
+    tx = build_optimizer(cfg.OPTIM, learning_rate=0.5)
+    state = tx.init({"w": jnp.zeros(3)})
+    updates, state = tx.update({"w": jnp.ones(3)}, state, {"w": jnp.zeros(3)})
+    state = set_learning_rate(state, 0.0)
+    updates, state = tx.update({"w": jnp.ones(3)}, state, {"w": jnp.zeros(3)})
+    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0)
+
+
+def test_flatten_unflatten_roundtrip():
+    tree = {
+        "a": {"b": jnp.ones((2, 2)), "c": [jnp.zeros(3), jnp.ones(3)]},
+        "d": jnp.full((4,), 7.0),
+    }
+    flat = flatten_params(tree)
+    assert set(flat) == {"a.b", "a.c.0", "a.c.1", "d"}
+    flat["d"] = np.full((4,), 9.0, np.float32)
+    new, used = unflatten_into(tree, flat)
+    assert "d" in used
+    np.testing.assert_allclose(np.asarray(new["d"]), 9.0)
+    np.testing.assert_allclose(np.asarray(new["a"]["b"]), 1.0)
+
+
+def test_unflatten_shape_mismatch_nonstrict_keeps_model_value():
+    tree = {"x": jnp.zeros((3,))}
+    new, used = unflatten_into(tree, {"x": np.zeros((5,), np.float32)})
+    assert np.asarray(new["x"]).shape == (3,)
+    assert "x" not in used
+
+
+def test_drop_class_conditioned():
+    sd = {
+        "prompt_learner.ctx": np.zeros(2),
+        "prompt_learner.token_prefix": np.zeros(2),
+        "prompt_learner.token_suffix": np.zeros(2),
+        "token_prefix": np.zeros(2),
+    }
+    out = drop_class_conditioned(sd)
+    assert set(out) == {"prompt_learner.ctx"}
+
+
+def test_checkpoint_io_and_marker(tmp_path):
+    state = {"epoch": 3, "state_dict": {"w": np.ones(2)}, "cfg": "x"}
+    fpath = save_checkpoint(state, str(tmp_path))
+    assert fpath.endswith("model.pth.tar-3")
+    assert (tmp_path / "checkpoint").read_text() == "model.pth.tar-3"
+    loaded = load_checkpoint(fpath)
+    assert loaded["epoch"] == 3
+
+
+def test_evaluator_log_contract():
+    cfg = get_cfg_default()
+    ev = Classification(cfg)
+    logits = np.asarray([[2.0, 1.0], [0.0, 3.0], [5.0, 0.0]])
+    labels = np.asarray([0, 1, 1])
+    ev.process(logits, labels)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        results = ev.evaluate()
+    out = buf.getvalue()
+    assert results["accuracy"] == pytest.approx(100 * 2 / 3)
+    # parse_test_res regex contract
+    m = re.search(r"\* accuracy: ([\.\deE+-]+)%", out)
+    assert m and float(m.group(1)) == pytest.approx(66.67)
+    assert "=> result" in out
+
+
+def test_compute_accuracy_topk():
+    logits = np.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    labels = np.asarray([1, 2])
+    top1, top2 = compute_accuracy(logits, labels, topk=(1, 2))
+    assert top1 == pytest.approx(50.0)
+    assert top2 == pytest.approx(50.0)
+
+
+def test_parse_test_res_tool(tmp_path):
+    """End-to-end: fake seed logs -> parser output."""
+    import subprocess
+    import sys
+
+    exp = tmp_path / "exp"
+    for seed, acc in [(1, 80.0), (2, 90.0)]:
+        d = exp / f"seed{seed}"
+        d.mkdir(parents=True)
+        (d / "log.txt").write_text(
+            f"training...\nFinished training\n=> result\n* accuracy: {acc:.2f}%\n"
+        )
+    out = subprocess.run(
+        [sys.executable, "tools/parse_test_res.py", str(exp)],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert "* accuracy: 85.00%" in out.stdout, out.stdout
