@@ -1,0 +1,70 @@
+"""Pallas fused attention: interpreter-mode parity against the XLA path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from federated_multi_modal_tpu.ops import build_causal_mask, multi_head_attention
+from federated_multi_modal_tpu.ops.pallas.attention import (
+    fused_attention,
+    multi_head_attention_pallas,
+    pallas_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not pallas_available(), reason="pallas unavailable"
+)
+
+
+def _params(rng, d):
+    return {
+        "w_qkv": rng.standard_normal((d, 3 * d)).astype(np.float32) * 0.05,
+        "b_qkv": rng.standard_normal(3 * d).astype(np.float32) * 0.05,
+        "w_out": rng.standard_normal((d, d)).astype(np.float32) * 0.05,
+        "b_out": rng.standard_normal(d).astype(np.float32) * 0.05,
+    }
+
+
+@pytest.mark.parametrize("T", [77, 199])  # text / MaPLe-vision lengths
+def test_fused_attention_matches_xla(rng, T):
+    d, n_head, B = 128, 2, 2
+    x = rng.standard_normal((B, T, d)).astype(np.float32)
+    p = _params(rng, d)
+    ref = np.asarray(multi_head_attention(jnp.asarray(x), p, n_head))
+    got = np.asarray(
+        multi_head_attention_pallas(jnp.asarray(x), p, n_head, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_attention_causal_mask(rng):
+    d, n_head, B, T = 128, 2, 1, 77
+    x = rng.standard_normal((B, T, d)).astype(np.float32)
+    p = _params(rng, d)
+    mask = build_causal_mask(T)
+    ref = np.asarray(multi_head_attention(jnp.asarray(x), p, n_head, mask))
+    got = np.asarray(
+        multi_head_attention_pallas(
+            jnp.asarray(x), p, n_head, attn_mask=mask, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_attention_padding_is_ignored(rng):
+    """T=199 pads to 200; padded keys must not leak into real outputs."""
+    d, n_head, B, T = 64, 1, 1, 9  # pads to 16
+    q = rng.standard_normal((B, T, d)).astype(np.float32)
+    k = rng.standard_normal((B, T, d)).astype(np.float32)
+    v = rng.standard_normal((B, T, d)).astype(np.float32)
+    got = np.asarray(fused_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), n_head, interpret=True
+    ))
+    # reference computed without padding
+    import jax
+
+    scale = 1.0 / np.sqrt(d)
+    s = q[0] @ k[0].T * scale
+    pr = np.asarray(jax.nn.softmax(jnp.asarray(s), axis=-1))
+    ref = (pr @ v[0])[None]
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
