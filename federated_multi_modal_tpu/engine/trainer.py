@@ -210,7 +210,9 @@ class TrainerBase:
             self.save_model(self.epoch)
 
     def after_train(self):
-        print("Finish training")
+        # parse_test_res matches metrics printed AFTER this end signal
+        # (parse_test_res.py:170-173), so it precedes the final test
+        print("Finished training")
         if not self.cfg.TEST.NO_TEST:
             if self.cfg.TEST.FINAL_MODEL == "best_val":
                 print("Deploy the model with the best val performance")
@@ -219,8 +221,6 @@ class TrainerBase:
         self.save_model(self.epoch)
         elapsed = round(time.time() - self.time_start)
         print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
-        # parse_test_res end-of-run sentinel (parse_test_res.py:170-173)
-        print("Finished training")
 
     def run_epoch(self):
         from federated_multi_modal_tpu.utils.profiling import trace

@@ -457,6 +457,8 @@ class MaPLeFederated(TrainerX):
         print(f"Skipped Rounds: {self.nan_stats['skipped_rounds']}")
         fail_rate = len(self.nan_stats["failed_clients"]) / max(1, self.num_clients)
         print(f"Client Failure Rate: {fail_rate:.1%}")
+        # end signal precedes the final test so parse_test_res picks it up
+        print("Finished training")
 
         if self.check_weights_valid(self.global_weights):
             self.broadcast_weights(self.global_weights, self.num_rounds)
@@ -466,7 +468,6 @@ class MaPLeFederated(TrainerX):
             self.save_model()
         else:
             print("Final global invalid, no test.")
-        print("Finished training")
 
     def before_save(self):
         """Sync global weights into the clients' registered slots."""

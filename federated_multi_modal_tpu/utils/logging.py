@@ -22,6 +22,8 @@ class _TeeLogger:
     def write(self, msg):
         self.console.write(msg)
         self.file.write(msg)
+        if "\n" in msg:  # line-flush so logs survive preemption/termination
+            self.file.flush()
         return len(msg)
 
     def flush(self):
