@@ -420,6 +420,25 @@ class FunctionalTrainerMixin:
         self._train_step = jax.jit(_train_step, donate_argnums=donate)
         self._infer = jax.jit(_infer)
 
+    def load_init_weights(self):
+        """``cfg.MODEL.INIT_WEIGHTS`` support (Dassl ``load_pretrained_weights``
+        analog, reference ``trainers/maple.py:489-490``): load a checkpoint
+        file into the trainable tree, non-strict, dropping class-conditioned
+        buffers."""
+        path = self.cfg.MODEL.INIT_WEIGHTS
+        if not path:
+            return
+        from federated_multi_modal_tpu.engine.checkpoint import (
+            drop_class_conditioned,
+            load_checkpoint,
+            unflatten_into,
+        )
+
+        ckpt = load_checkpoint(path)
+        flat = drop_class_conditioned(ckpt.get("state_dict", ckpt))
+        self.trainable, used = unflatten_into(self.trainable, flat)
+        print(f"Initialized {len(used)} tensors from {path}")
+
     # -- training -----------------------------------------------------------
     def train_step(self, batch_dict) -> dict:
         self.total_batches += 1

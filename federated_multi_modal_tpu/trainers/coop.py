@@ -127,6 +127,7 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
         self.logits_fn = logits_fn
         self.loss_fn = loss_fn
         self.setup_optimization()
+        self.load_init_weights()
 
         n_train = sum(
             int(jnp.size(x))

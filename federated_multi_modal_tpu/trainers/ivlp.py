@@ -141,6 +141,7 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
         self.logits_fn = logits_fn
         self.loss_fn = loss_fn
         self.setup_optimization()
+        self.load_init_weights()
         self.register_model("VLPromptLearner", self._get_state, self._set_state)
 
     def _get_state(self):

@@ -319,6 +319,7 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
         self.logits_fn = logits_fn
         self.loss_fn = loss_fn
         self.setup_optimization()
+        self.load_init_weights()
 
         n_train = sum(
             int(np.prod(x.shape))

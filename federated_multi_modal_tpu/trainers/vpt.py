@@ -96,6 +96,7 @@ class VPT(FunctionalTrainerMixin, TrainerX):
         self.logits_fn = logits_fn
         self.loss_fn = loss_fn
         self.setup_optimization()
+        self.load_init_weights()
         self.register_model("prompt_learner", self._get_state, self._set_state)
 
     def _get_state(self):
