@@ -72,6 +72,9 @@ def get_cfg_default() -> CN:
     cfg.DATALOADER.NUM_WORKERS = 4
     cfg.DATALOADER.K_TRANSFORMS = 1
     cfg.DATALOADER.RETURN_IMG0 = False
+    # cache decoded uint8 canvases in RAM (device pipeline): augmentation
+    # runs on device, so epoch 2+ needs no host JPEG decoding
+    cfg.DATALOADER.CANVAS_CACHE = True
     cfg.DATALOADER.TRAIN_X = CN()
     cfg.DATALOADER.TRAIN_X.SAMPLER = "RandomSampler"
     cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 32

@@ -34,6 +34,7 @@ class DataLoader:
         drop_last: Optional[bool] = None,
         seed: int = 0,
         prefetch_depth: int = 2,
+        cache_decoded: bool = True,
     ):
         self.data_source = list(data_source)
         self.batch_size = batch_size
@@ -44,6 +45,15 @@ class DataLoader:
         self.rng = np.random.default_rng(seed)
         self.prefetch_depth = prefetch_depth
         self.epoch = 0
+        # Decoded-canvas cache (device pipeline only): augmentation happens
+        # on device from the uint8 canvas, so caching the canvas is
+        # lossless — from epoch 2 the host does zero JPEG decoding.  This
+        # is the TPU-side answer to the reference's 8 dataloader workers;
+        # few-shot canvases are small (16-shot x 100 classes ~ 300 MB).
+        self.cache_decoded = (
+            cache_decoded and getattr(transform, "mode", "host") == "device"
+        )
+        self._canvas_cache: dict = {}
 
     def __len__(self):
         n = len(self.data_source)
@@ -74,7 +84,17 @@ class DataLoader:
         }
         mode = getattr(self.transform, "mode", "host")
         if mode == "device":
-            canvas = np.stack([self.transform(it.impath) for it in items])
+            if self.cache_decoded:
+                frames = []
+                for i, it in zip(chunk, items):
+                    frame = self._canvas_cache.get(i)
+                    if frame is None:
+                        frame = self.transform(it.impath)
+                        self._canvas_cache[i] = frame
+                    frames.append(frame)
+                canvas = np.stack(frames)
+            else:
+                canvas = np.stack([self.transform(it.impath) for it in items])
             boxes, flips = self.transform.sample_params(self.rng, len(items))
             batch.update(canvas=canvas, box=boxes, flip=flips)
         else:

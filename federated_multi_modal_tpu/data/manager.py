@@ -43,6 +43,7 @@ def build_data_loader(
         drop_last=drop_last,
         seed=max(cfg.SEED, 0),
         prefetch_depth=getattr(cfg.TPU, "PREFETCH_DEPTH", 2),
+        cache_decoded=getattr(cfg.DATALOADER, "CANVAS_CACHE", True),
     )
 
 

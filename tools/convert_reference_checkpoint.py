@@ -1,0 +1,195 @@
+"""Convert reference (PyTorch/Dassl) checkpoints into this framework's
+format, so models trained with the original ``federated_multi_modal`` stack
+can be evaluated or fine-tuned here directly.
+
+Name mapping (reference torch module names -> our flat pytree names):
+
+MaPLe / MaPLeFederated (full CustomCLIP state dict, ``trainers/maple.py``):
+  prompt_learner.ctx                                -> prompt_learner.ctx
+  prompt_learner.proj_lang_to_vis.{weight,bias}     -> prompt_learner.proj_lang_to_vis.{w^T,b}
+  prompt_learner.proj_vis_to_lang.{weight,bias}     -> prompt_learner.proj_vis_to_lang.{w^T,b}
+  prompt_learner.compound_prompts_text_parameters.k -> prompt_learner.text_deep_params.k
+  prompt_learner.visual_deep_prompts_parameters.k   -> prompt_learner.vis_deep_params.k
+  prompt_learner.compound_prompt_projections.i.*    -> prompt_learner.couplers.i.{w^T,b}
+  image_encoder.*  (ViT naming)                     -> clip.visual.*
+  text_encoder.*                                    -> clip.text.*
+  token_prefix / token_suffix                       -> dropped (re-derived
+                                                       from classnames at load)
+  clip_model2.* / tokenized_prompts / logit_scale   -> dropped (frozen dupes)
+
+CoOp / CoCoOp / IVLP / VPT (prompt-learner-only state dicts): the learner
+tensors map 1:1 (linear weights transposed); ``VPT``-named vision prompts
+map into the ``vpt`` subtree.
+
+Usage::
+
+    python tools/convert_reference_checkpoint.py --trainer MaPLe \
+        model.pth.tar-9 converted/MultiModalPromptLearner/model.pth.tar-9
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+
+import numpy as np
+
+
+def _np(t):
+    try:
+        return np.asarray(t.detach().cpu().float().numpy())
+    except AttributeError:
+        return np.asarray(t, dtype=np.float32)
+
+
+def _block_map(src, dst, i, sd, out):
+    pairs = {
+        f"{src}.attn.in_proj_weight": (f"{dst}.attn.w_qkv", True),
+        f"{src}.attn.in_proj_bias": (f"{dst}.attn.b_qkv", False),
+        f"{src}.attn.out_proj.weight": (f"{dst}.attn.w_out", True),
+        f"{src}.attn.out_proj.bias": (f"{dst}.attn.b_out", False),
+        f"{src}.ln_1.weight": (f"{dst}.ln_1.scale", False),
+        f"{src}.ln_1.bias": (f"{dst}.ln_1.bias", False),
+        f"{src}.ln_2.weight": (f"{dst}.ln_2.scale", False),
+        f"{src}.ln_2.bias": (f"{dst}.ln_2.bias", False),
+        f"{src}.mlp.c_fc.weight": (f"{dst}.mlp.w_fc", True),
+        f"{src}.mlp.c_fc.bias": (f"{dst}.mlp.b_fc", False),
+        f"{src}.mlp.c_proj.weight": (f"{dst}.mlp.w_proj", True),
+        f"{src}.mlp.c_proj.bias": (f"{dst}.mlp.b_proj", False),
+    }
+    for k, (name, transpose) in pairs.items():
+        if k in sd:
+            v = _np(sd[k])
+            out[name] = v.T if transpose else v
+
+
+def convert_maple(sd) -> dict:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("prompt_learner."):
+            sub = k[len("prompt_learner."):]
+            if sub in ("token_prefix", "token_suffix"):
+                continue
+            if sub == "ctx":
+                out["prompt_learner.ctx"] = _np(v)
+            elif m := re.match(r"proj_(lang_to_vis|vis_to_lang)\.(weight|bias)", sub):
+                which, wb = m.groups()
+                name = f"prompt_learner.proj_{which}." + ("w" if wb == "weight" else "b")
+                out[name] = _np(v).T if wb == "weight" else _np(v)
+            elif m := re.match(r"compound_prompts_text_parameters\.(\d+)", sub):
+                out[f"prompt_learner.text_deep_params.{m.group(1)}"] = _np(v)
+            elif m := re.match(r"visual_deep_prompts_parameters\.(\d+)", sub):
+                out[f"prompt_learner.vis_deep_params.{m.group(1)}"] = _np(v)
+            elif m := re.match(r"compound_prompt_projections\.(\d+)\.(weight|bias)", sub):
+                i, wb = m.groups()
+                name = f"prompt_learner.couplers.{i}." + ("w" if wb == "weight" else "b")
+                out[name] = _np(v).T if wb == "weight" else _np(v)
+            # clip_model2 duplicates and anything else: skip
+
+    # encoder weights (LNs everywhere + the trained last blocks)
+    for k in sd:
+        m = re.match(r"image_encoder\.transformer\.resblocks\.(\d+)\.", k)
+        if m:
+            i = int(m.group(1))
+            _block_map(
+                f"image_encoder.transformer.resblocks.{i}",
+                f"clip.visual.blocks.{i}", i, sd, out,
+            )
+        m = re.match(r"text_encoder\.transformer\.resblocks\.(\d+)\.", k)
+        if m:
+            i = int(m.group(1))
+            _block_map(
+                f"text_encoder.transformer.resblocks.{i}",
+                f"clip.text.blocks.{i}", i, sd, out,
+            )
+    simple = {
+        "image_encoder.ln_pre.weight": "clip.visual.ln_pre.scale",
+        "image_encoder.ln_pre.bias": "clip.visual.ln_pre.bias",
+        "image_encoder.ln_post.weight": "clip.visual.ln_post.scale",
+        "image_encoder.ln_post.bias": "clip.visual.ln_post.bias",
+        "image_encoder.class_embedding": "clip.visual.class_embedding",
+        "image_encoder.positional_embedding": "clip.visual.positional_embedding",
+        "image_encoder.proj": "clip.visual.proj",
+        "text_encoder.ln_final.weight": "clip.text.ln_final.scale",
+        "text_encoder.ln_final.bias": "clip.text.ln_final.bias",
+        "text_encoder.positional_embedding": "clip.text.positional_embedding",
+        "text_encoder.text_projection": "clip.text.text_projection",
+    }
+    for src, dst in simple.items():
+        if src in sd:
+            out[dst] = _np(sd[src])
+    if "image_encoder.conv1.weight" in sd:
+        w = _np(sd["image_encoder.conv1.weight"])  # (O, 3, P, P)
+        out["clip.visual.conv1.w"] = w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0])
+    return out
+
+
+def convert_prompt_learner_only(sd, trainer: str) -> dict:
+    """CoOp / CoCoOp / IVLP / VPT register only the prompt learner."""
+    out = {}
+    for k, v in sd.items():
+        if k in ("token_prefix", "token_suffix"):
+            continue
+        if k == "ctx":
+            out["prompt_learner.ctx"] = _np(v)
+        elif m := re.match(r"meta_net\.(linear[12])\.(weight|bias)", k):
+            lin, wb = m.groups()
+            name = f"prompt_learner.meta_net.{lin}." + ("w" if wb == "weight" else "b")
+            out[name] = _np(v).T if wb == "weight" else _np(v)
+        elif "VPT" in k:
+            # reference stores shallow VPT on the vision tower and per-layer
+            # VPT_shallow params inside blocks; map indices in encounter order
+            out.setdefault("_vpt_raw", []).append((k, _np(v)))
+        else:
+            out[f"prompt_learner.{k}"] = _np(v)
+
+    raw = out.pop("_vpt_raw", [])
+    if raw:
+        raw.sort()
+        shallow = [v for k, v in raw if ".resblocks." not in k]
+        deep = [v for k, v in raw if ".resblocks." in k]
+        if shallow:
+            out["vpt.shallow"] = shallow[0]
+        for j, v in enumerate(deep):
+            out[f"vpt.deep.{j}"] = v
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("src", help="reference .pth.tar checkpoint")
+    parser.add_argument("dst", help="output checkpoint path")
+    parser.add_argument("--trainer", default="MaPLe",
+                        choices=["MaPLe", "CoOp", "CoCoOp", "IVLP", "VPT"])
+    args = parser.parse_args()
+
+    import torch
+
+    ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+
+    if args.trainer == "MaPLe":
+        flat = convert_maple(sd)
+    else:
+        flat = convert_prompt_learner_only(sd, args.trainer)
+
+    os.makedirs(os.path.dirname(args.dst) or ".", exist_ok=True)
+    import pickle
+
+    payload = {
+        "epoch": ckpt.get("epoch", 0),
+        "state_dict": flat,
+        "optimizer": None,
+        "scheduler": None,
+        "val_result": ckpt.get("val_result"),
+        "cfg": None,
+        "converted_from": args.src,
+    }
+    with open(args.dst, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    print(f"Converted {len(flat)} tensors -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
