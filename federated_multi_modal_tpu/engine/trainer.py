@@ -420,6 +420,20 @@ class FunctionalTrainerMixin:
         self._train_step = jax.jit(_train_step, donate_argnums=donate)
         self._infer = jax.jit(_infer)
 
+        # optional eval fast path: trainers may define
+        #   eval_prepare_fn(trainable, frozen) -> prepared   (image-free work:
+        #       text features, coupled prompts — computed once per eval)
+        #   eval_apply_fn(trainable, frozen, images, prepared) -> logits
+        # The reference recomputes all prompt/text work per eval batch
+        # (e.g. trainers/maple.py:674); caching it is image-independent and
+        # exact.
+        self._eval_cache = None
+        if getattr(self, "eval_prepare_fn", None) is not None:
+            self._eval_prepare = jax.jit(self.eval_prepare_fn)
+            self._eval_apply = jax.jit(self.eval_apply_fn)
+        else:
+            self._eval_prepare = None
+
     def load_init_weights(self):
         """``cfg.MODEL.INIT_WEIGHTS`` support (Dassl ``load_pretrained_weights``
         analog, reference ``trainers/maple.py:489-490``): load a checkpoint
@@ -437,11 +451,13 @@ class FunctionalTrainerMixin:
         ckpt = load_checkpoint(path)
         flat = drop_class_conditioned(ckpt.get("state_dict", ckpt))
         self.trainable, used = unflatten_into(self.trainable, flat)
+        self._eval_cache = None
         print(f"Initialized {len(used)} tensors from {path}")
 
     # -- training -----------------------------------------------------------
     def train_step(self, batch_dict) -> dict:
         self.total_batches += 1
+        self._eval_cache = None  # weights change -> cached eval state stale
         self.trainable, self.opt_state, loss, gnorm, aux = self._train_step(
             self.trainable, self.frozen, self.opt_state, batch_dict
         )
@@ -460,6 +476,12 @@ class FunctionalTrainerMixin:
         return out
 
     def model_inference(self, images):
+        if self._eval_prepare is not None:
+            if self._eval_cache is None:
+                self._eval_cache = self._eval_prepare(self.trainable, self.frozen)
+            return self._eval_apply(
+                self.trainable, self.frozen, images, self._eval_cache
+            )
         return self._infer(self.trainable, self.frozen, images)
 
     # -- LR schedule ----------------------------------------------------------
@@ -482,9 +504,13 @@ class FunctionalTrainerMixin:
         except Exception:
             return 0.0
 
+    def invalidate_eval_cache(self):
+        self._eval_cache = None
+
     def reset_optimizer_state(self):
         """Drop momentum (the federated broadcast deletes optimizer state,
         ``trainers/maple_fed.py:331-336``)."""
+        self._eval_cache = None
         lr = self.get_current_lr()
         self.opt_state = self.tx.init(self.trainable)
         self.opt_state = set_learning_rate(self.opt_state, lr)

@@ -149,6 +149,7 @@ class CoCoOp(FunctionalTrainerMixin, TrainerX):
         return {"state_dict": sd, "optimizer": None, "scheduler": None}
 
     def _set_state(self, flat):
+        self.invalidate_eval_cache()
         new, _ = unflatten_into(self.trainable["prompt_learner"], flat)
         self.trainable = {"prompt_learner": new}
 

@@ -124,6 +124,17 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
             )
             return loss, {"acc": acc * 100.0}
 
+        # eval fast path: text features depend only on the learned ctx
+        def eval_prepare_fn(trainable, frozen):
+            return text_features(trainable, frozen)
+
+        def eval_apply_fn(trainable, frozen, images, txt):
+            img = encode_image(frozen["clip"]["visual"], arch, images)
+            return cosine_logits(img, txt, frozen["clip"]["logit_scale"])
+
+        self.eval_prepare_fn = eval_prepare_fn
+        self.eval_apply_fn = eval_apply_fn
+
         self.logits_fn = logits_fn
         self.loss_fn = loss_fn
         self.setup_optimization()
@@ -149,6 +160,7 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
         return {"state_dict": sd, "optimizer": None, "scheduler": None}
 
     def _set_state(self, flat):
+        self.invalidate_eval_cache()
         new, _ = unflatten_into(self.trainable["prompt_learner"], flat)
         self.trainable = {"prompt_learner": new}
 

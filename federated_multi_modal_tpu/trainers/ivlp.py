@@ -138,6 +138,30 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
             ).mean()
             return loss, {}
 
+        # eval fast path: text features depend only on the prompt learner
+        def eval_prepare_fn(trainable, frozen):
+            pc = frozen["prompt_const"]
+            prompts = assemble_prompts_end(
+                trainable["prompt_learner"]["ctx"],
+                pc["token_prefix"],
+                pc["token_suffix"],
+            )
+            return encode_text_embedded(
+                frozen["clip"]["text"], arch, prompts, pc["eot_index"],
+                deep_prompts=trainable["prompt_learner"]["deep_text"],
+            )
+
+        def eval_apply_fn(trainable, frozen, images, txt):
+            img = encode_image(
+                frozen["clip"]["visual"], arch, images,
+                shallow_prompts=trainable["vpt"].get("shallow"),
+                deep_prompts=trainable["vpt"].get("deep"),
+            )
+            return cosine_logits(img, txt, frozen["clip"]["logit_scale"])
+
+        self.eval_prepare_fn = eval_prepare_fn
+        self.eval_apply_fn = eval_apply_fn
+
         self.logits_fn = logits_fn
         self.loss_fn = loss_fn
         self.setup_optimization()
@@ -153,6 +177,7 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
         return {"state_dict": sd, "optimizer": None, "scheduler": None}
 
     def _set_state(self, flat):
+        self.invalidate_eval_cache()
         self.trainable, _ = unflatten_into(self.trainable, flat)
 
     def forward_backward(self, batch):

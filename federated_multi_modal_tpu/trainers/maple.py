@@ -316,6 +316,41 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
             )
             return total, {"acc": acc * 100.0, "align": alignment}
 
+        # eval fast path: prompts/text features are image-independent, so
+        # compute them once per evaluation instead of per batch (the
+        # reference recomputes them every eval batch, trainers/maple.py:674)
+        def eval_prepare_fn(trainable, frozen):
+            m = full_model(trainable, frozen)
+            pc = frozen["prompt_const"]
+            prompts, shared_ctx, text_deep, vis_deep = maple_prompts(
+                m["prompt_learner"], pc["token_prefix"], pc["token_suffix"], depth
+            )
+            txt = encode_text_embedded(
+                m["clip"]["text"], arch, prompts, pc["eot_index"],
+                deep_prompts=text_deep,
+            )
+            scale = jnp.clip(
+                jnp.exp(m["clip"]["logit_scale"].astype(jnp.float32)), None, 100.0
+            )
+            return {
+                "txt_n": l2_normalize(txt),
+                "shared_ctx": shared_ctx,
+                "vis_deep": vis_deep,
+                "scale": scale,
+            }
+
+        def eval_apply_fn(trainable, frozen, images, prep):
+            m = full_model(trainable, frozen)
+            img = encode_image(
+                m["clip"]["visual"], arch, images,
+                shallow_prompts=prep["shared_ctx"],
+                deep_prompts=prep["vis_deep"],
+            )
+            return prep["scale"] * l2_normalize(img) @ prep["txt_n"].T
+
+        self.eval_prepare_fn = eval_prepare_fn
+        self.eval_apply_fn = eval_apply_fn
+
         self.logits_fn = logits_fn
         self.loss_fn = loss_fn
         self.setup_optimization()
@@ -348,6 +383,7 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
         return {"state_dict": sd, "optimizer": None, "scheduler": None}
 
     def _set_state(self, flat):
+        self.invalidate_eval_cache()
         self.trainable, _ = unflatten_into(self.trainable, flat)
 
     # -- batches ---------------------------------------------------------------

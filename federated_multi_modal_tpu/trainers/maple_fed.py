@@ -447,6 +447,7 @@ class MaPLeFederated(TrainerX):
         epoch = (round_idx + (1 if advance else 0)) * self.local_epochs
         for trainer in self.clients:
             trainer.trainable = copy_tree(global_tree)
+            trainer.invalidate_eval_cache()
             trainer.reset_optimizer_state()
             trainer.set_epoch_lr(epoch)
             trainer.epoch = epoch

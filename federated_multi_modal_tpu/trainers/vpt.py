@@ -107,6 +107,7 @@ class VPT(FunctionalTrainerMixin, TrainerX):
         }
 
     def _set_state(self, flat):
+        self.invalidate_eval_cache()
         self.trainable, _ = unflatten_into(self.trainable, flat)
 
     def forward_backward(self, batch):

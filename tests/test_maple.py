@@ -166,3 +166,30 @@ def test_broadcast_resets_momentum_and_lr(data_root, tmp_path):
     # lr follows the global epoch window: epoch 1 of 2 -> cosine value
     expected = client.sched_fn(1 * cfg.FED.LOCAL_EPOCHS)
     assert client.get_current_lr() == pytest.approx(expected)
+
+
+def test_eval_fast_path_matches_plain_inference(data_root, tmp_path):
+    """The cached eval path (prepare once + apply per batch) must produce
+    the same logits as the uncached logits_fn."""
+    cfg = make_cfg(data_root, tmp_path / "fast")
+    trainer = build_trainer(cfg)
+    batch = next(iter(trainer.test_loader))
+    images = trainer.parse_batch_images(batch)
+    fast = np.asarray(trainer.model_inference(images))
+    plain = np.asarray(
+        trainer.logits_fn(trainer.trainable, trainer.frozen, images)
+    )
+    # bf16 activations fused differently across programs -> small noise;
+    # require tight agreement relative to the logit scale and identical
+    # predictions
+    np.testing.assert_allclose(fast, plain, atol=0.08, rtol=0.0)
+    assert (fast.argmax(1) == plain.argmax(1)).all()
+    # weights change -> cache invalidated and still consistent
+    trainer.run_epoch(0)
+    images2 = trainer.parse_batch_images(next(iter(trainer.test_loader)))
+    fast2 = np.asarray(trainer.model_inference(images2))
+    plain2 = np.asarray(
+        trainer.logits_fn(trainer.trainable, trainer.frozen, images2)
+    )
+    np.testing.assert_allclose(fast2, plain2, atol=0.08, rtol=0.0)
+    assert (fast2.argmax(1) == plain2.argmax(1)).all()
