@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--no-captions", action="store_true")
     parser.add_argument("--depth", type=int, default=9)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize blocks (bigger batches)")
     args = parser.parse_args()
 
     import jax
@@ -54,6 +56,7 @@ def main():
         classnames=classnames,
         depth=args.depth,
         use_captions=use_captions,
+        remat=args.remat,
     )
 
     cfg = get_cfg_default()

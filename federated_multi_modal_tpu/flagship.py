@@ -47,6 +47,7 @@ def build_maple_program(
     use_captions: bool = True,
     seed: int = 0,
     align_lambda: float = 0.5,
+    remat: bool = False,
 ):
     """Build the pure-functional MaPLe forward/loss and its state.
 
@@ -94,13 +95,14 @@ def build_maple_program(
             )
         txt = encode_text_embedded(
             m["clip"]["text"], arch, prompts, pc["eot_index"],
-            deep_prompts=text_deep,
+            deep_prompts=text_deep, remat=remat,
         )
         img = encode_image(
             m["clip"]["visual"], arch, images,
             shallow_prompts=shared_ctx,
             deep_prompts=vis_deep,
             extra_tokens=extra,
+            remat=remat,
         )
         scale = jnp.clip(
             jnp.exp(m["clip"]["logit_scale"].astype(jnp.float32)), None, 100.0

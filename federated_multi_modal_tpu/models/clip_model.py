@@ -68,6 +68,16 @@ def _broadcast_prompt(p: jax.Array, batch: int, dtype) -> jax.Array:
     return p
 
 
+def _block_fn(remat: bool):
+    """Per-block forward, optionally rematerialized: with ``remat`` the
+    block's activations are recomputed in the backward pass instead of
+    stored — ~1 extra forward of FLOPs for ~L x activation memory saved,
+    which buys much larger batches (HBM is the binding constraint)."""
+    if remat:
+        return jax.checkpoint(residual_block, static_argnums=(2,))
+    return residual_block
+
+
 def encode_image(
     params,
     cfg: CLIPConfig,
@@ -75,6 +85,7 @@ def encode_image(
     shallow_prompts: Optional[jax.Array] = None,
     deep_prompts: Optional[Sequence[jax.Array]] = None,
     extra_tokens: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Vision transformer forward with optional prompt injection.
 
@@ -120,6 +131,7 @@ def encode_image(
 
     n_tail = n_ctx + n_extra
     deep_prompts = deep_prompts or []
+    block = _block_fn(remat)
     for i, blk in enumerate(params["blocks"]):
         if 1 <= i <= len(deep_prompts):
             p = _broadcast_prompt(deep_prompts[i - 1], B, dtype)
@@ -127,7 +139,7 @@ def encode_image(
             if extra_tokens is not None:
                 tail.append(extra_tokens.astype(dtype))
             x = jnp.concatenate([x[:, : x.shape[1] - n_tail]] + tail, axis=1)
-        x = residual_block(x, blk, cfg.vision_heads)
+        x = block(x, blk, cfg.vision_heads)
 
     pooled = layer_norm(x[:, 0, :], params["ln_post"])
     feats = jnp.matmul(
@@ -168,6 +180,7 @@ def encode_text_embedded(
     prompts: jax.Array,
     eot_index: jax.Array,
     deep_prompts: Optional[Sequence[jax.Array]] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Text transformer over pre-assembled prompt embeddings.
 
@@ -187,12 +200,13 @@ def encode_text_embedded(
 
     deep_prompts = deep_prompts or []
     N = x.shape[0]
+    block = _block_fn(remat)
     for i, blk in enumerate(params["blocks"]):
         if 1 <= i <= len(deep_prompts):
             p = _broadcast_prompt(deep_prompts[i - 1], N, dtype)
             n_ctx = p.shape[1]
             x = jnp.concatenate([x[:, :1], p, x[:, 1 + n_ctx :]], axis=1)
-        x = residual_block(x, blk, cfg.transformer_heads, mask)
+        x = block(x, blk, cfg.transformer_heads, mask)
 
     x = layer_norm(x, params["ln_final"])
     pooled = jnp.take_along_axis(x, eot_index[:, None, None], axis=1)[:, 0]
