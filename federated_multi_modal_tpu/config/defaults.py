@@ -207,6 +207,7 @@ def get_cfg_default() -> CN:
     cfg.TPU.MESH_AXES = ("client", "data")
     cfg.TPU.DONATE_BUFFERS = True
     cfg.TPU.USE_PALLAS_ATTENTION = False  # XLA attention is default
+    cfg.TPU.REMAT = False  # rematerialize blocks (bigger batches)
     cfg.TPU.PREFETCH_DEPTH = 2
 
     return cfg

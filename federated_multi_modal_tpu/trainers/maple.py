@@ -215,6 +215,7 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
         )
         self.use_captions = bool(tcfg.USE_CAPTIONS)
         self.align_lambda = float(tcfg.ALIGN_LAMBDA)
+        remat = bool(cfg.TPU.REMAT)
 
         ctx_init = tcfg.CTX_INIT
         key = jax.random.PRNGKey(cfg.SEED if cfg.SEED >= 0 else 0)
@@ -267,13 +268,14 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
                 )
             txt = encode_text_embedded(
                 m["clip"]["text"], arch, prompts, pc["eot_index"],
-                deep_prompts=text_deep,
+                deep_prompts=text_deep, remat=remat,
             )
             img = encode_image(
                 m["clip"]["visual"], arch, images,
                 shallow_prompts=shared_ctx,
                 deep_prompts=vis_deep,
                 extra_tokens=extra,
+                remat=remat,
             )
             return l2_normalize(img), l2_normalize(txt), m
 

@@ -135,3 +135,20 @@ def test_loader_drop_last_and_len(synth_cfg):
     dl_eval = DataLoader(data, batch_size=4, transform=tfm, is_train=False,
                          prefetch_depth=0)
     assert len(dl_eval) == 3
+
+
+def test_canvas_cache_is_lossless(synth_cfg):
+    """Epoch 2 (cached) must yield byte-identical canvases to epoch 1."""
+    from federated_multi_modal_tpu.data import DataLoader, build_transform
+
+    tfm = build_transform(synth_cfg, is_train=True)
+    data = None
+    dm = DataManager(synth_cfg)
+    data = dm.dataset.test
+    dl = DataLoader(data, batch_size=4, transform=tfm, is_train=False,
+                    prefetch_depth=0, cache_decoded=True, drop_last=False)
+    first = [b["canvas"].copy() for b in dl]
+    assert dl._canvas_cache  # populated
+    second = [b["canvas"] for b in dl]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
