@@ -354,10 +354,12 @@ class MaPLeFederated(TrainerX):
         global_tree = self.global_weights
 
         def broadcast(global_tree, epoch):
+            # same scheduler-rebuild quirk as the sequential broadcast:
+            # the first local epoch of each round runs at sched(0)
             stacked = stack_client_trees([global_tree] * C)
             stacked = shard(stacked, P("client"))
             opt = stack_client_trees([tx.init(global_tree)] * C)
-            opt.hyperparams["learning_rate"] = jnp.full((C,), sched(epoch))
+            opt.hyperparams["learning_rate"] = jnp.full((C,), sched(0))
             return stacked, opt
 
         def stacked_batches(epoch_loaders):
@@ -442,14 +444,23 @@ class MaPLeFederated(TrainerX):
     def broadcast_weights(self, global_tree, round_idx: int = 0,
                           advance: bool = False):
         """Load global weights into every client, drop optimizer momentum,
-        and rebuild the schedule at the client's global epoch
-        (reference :327-339)."""
+        and rebuild the schedule (reference :327-339).
+
+        Faithful quirk: the reference rebuilds the torch scheduler (whose
+        construction sets the optimizer LR to the epoch-0 value — i.e. the
+        warmup LR) and then mutates ``last_epoch = epoch - 1`` *without*
+        refreshing the LR.  Net effect: the FIRST local epoch of every
+        round runs at the warmup LR; ``update_lr`` at the end of each epoch
+        then lands on the cosine value for the global epoch.  We reproduce
+        exactly that: LR := sched(0) now, and per-epoch stepping continues
+        from the client's global epoch counter.
+        """
         epoch = (round_idx + (1 if advance else 0)) * self.local_epochs
         for trainer in self.clients:
             trainer.trainable = copy_tree(global_tree)
             trainer.invalidate_eval_cache()
             trainer.reset_optimizer_state()
-            trainer.set_epoch_lr(epoch)
+            trainer.set_epoch_lr(0)
             trainer.epoch = epoch
 
     def finalize_training(self):

@@ -163,9 +163,15 @@ def test_broadcast_resets_momentum_and_lr(data_root, tmp_path):
         x for x in jax.tree_util.tree_leaves(inner) if hasattr(x, "shape")
     ]
     assert all(float(jnp.abs(t).max()) == 0.0 for t in traces if t.size > 1)
-    # lr follows the global epoch window: epoch 1 of 2 -> cosine value
-    expected = client.sched_fn(1 * cfg.FED.LOCAL_EPOCHS)
-    assert client.get_current_lr() == pytest.approx(expected)
+    # reference scheduler-rebuild quirk: broadcast leaves the LR at the
+    # epoch-0 (warmup) value; per-epoch stepping then continues from the
+    # global epoch counter
+    assert client.get_current_lr() == pytest.approx(client.sched_fn(0))
+    assert client.epoch == 1 * cfg.FED.LOCAL_EPOCHS
+    client.update_lr()
+    assert client.get_current_lr() == pytest.approx(
+        client.sched_fn(cfg.FED.LOCAL_EPOCHS + 1)
+    )
 
 
 def test_eval_fast_path_matches_plain_inference(data_root, tmp_path):
