@@ -213,7 +213,16 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
             f"cfg_imsize ({cfg.INPUT.SIZE[0]}) must equal clip_imsize "
             f"({arch.image_resolution})"
         )
-        self.use_captions = bool(tcfg.USE_CAPTIONS)
+        # caption conditioning only when the dataset actually provides
+        # captions (the reference passes caption=None for caption-less
+        # datasets and the branch is skipped, trainers/maple.py:307-315)
+        dataset_has_captions = any(
+            getattr(d, "caption", "")
+            for d in (self.dm.dataset.train_x or self.dm.dataset.test)[:64]
+        )
+        self.use_captions = bool(tcfg.USE_CAPTIONS) and dataset_has_captions
+        if tcfg.USE_CAPTIONS and not dataset_has_captions:
+            print(f"{self._tag}Dataset provides no captions; caption branch off")
         self.align_lambda = float(tcfg.ALIGN_LAMBDA)
         remat = bool(cfg.TPU.REMAT)
 

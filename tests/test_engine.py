@@ -177,3 +177,28 @@ def test_parse_test_res_tool(tmp_path):
         capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
     )
     assert "* accuracy: 85.00%" in out.stdout, out.stdout
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    from federated_multi_modal_tpu.engine.checkpoint_orbax import (
+        ORBAX_AVAILABLE,
+        restore_pytree,
+        save_pytree,
+    )
+
+    if not ORBAX_AVAILABLE:
+        pytest.skip("orbax not installed")
+    tree = {
+        "a": jnp.ones((3,)),
+        "b": {"c": jnp.full((2, 2), 7.0), "d": None},
+    }
+    path = str(tmp_path / "orbax_state")
+    save_pytree(path, tree)
+    like = {
+        "a": jnp.zeros((3,)),
+        "b": {"c": jnp.zeros((2, 2)), "d": None},
+    }
+    restored = restore_pytree(path, like)
+    np.testing.assert_allclose(np.asarray(restored["a"]), 1.0)
+    np.testing.assert_allclose(np.asarray(restored["b"]["c"]), 7.0)
+    assert restored["b"]["d"] is None
