@@ -40,7 +40,8 @@ from federated_multi_modal_tpu.engine.checkpoint import (
     save_checkpoint,
     unflatten_into,
 )
-from federated_multi_modal_tpu.engine.evaluator import Classification
+from federated_multi_modal_tpu.engine.evaluator import Classification  # noqa: F401
+from federated_multi_modal_tpu.engine.registry import build_evaluator
 from federated_multi_modal_tpu.engine.optim import (
     build_lr_schedule,
     build_optimizer,
@@ -149,7 +150,8 @@ class TrainerBase:
         self.build_model()
 
         lab2cname = getattr(self.dm, "lab2cname", {}) if self.dm else {}
-        self.evaluator = Classification(cfg, lab2cname=lab2cname)
+        # routed through the registry (cfg.TEST.EVALUATOR, Dassl-style)
+        self.evaluator = build_evaluator(cfg, lab2cname=lab2cname)
 
     # -- hooks ---------------------------------------------------------------
     def check_cfg(self, cfg):

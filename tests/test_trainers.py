@@ -175,3 +175,14 @@ def test_cocoop_conditioning_is_per_image(data_root, tmp_path):
         trainer.logits_fn(trainer.trainable, trainer.frozen, images[perm])
     )
     np.testing.assert_allclose(logits[perm], logits_p, rtol=2e-2, atol=2e-2)
+
+
+def test_eval_handles_partial_final_batch(data_root, tmp_path):
+    """Test set size not divisible by TEST.BATCH_SIZE: the padded program
+    must not contaminate the accuracy accounting."""
+    cfg = make_cfg(data_root, "ZeroshotCLIP", tmp_path / "pad")
+    cfg.DATALOADER.TEST.BATCH_SIZE = 10  # synthetic test split has 16
+    trainer = build_trainer(cfg)
+    res = trainer.test()
+    assert res["total"] == len(trainer.dm.dataset.test)
+    assert res["correct"] <= res["total"]
