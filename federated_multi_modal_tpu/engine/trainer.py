@@ -208,6 +208,19 @@ class TrainerBase:
     def after_epoch(self):
         last_epoch = (self.epoch + 1) == self.max_epoch
         freq = self.cfg.TRAIN.CHECKPOINT_FREQ
+        # best-val tracking (Dassl TrainerX after_epoch protocol): evaluate
+        # the val split each epoch and keep model-best.pth.tar
+        if (
+            self.cfg.TEST.FINAL_MODEL == "best_val"
+            and self.val_loader is not None
+        ):
+            result = self.test(split="val")["accuracy"]
+            if result > self.best_result:
+                self.best_result = result
+                print(f"New best val accuracy: {result:.2f}%")
+                self.save_model(
+                    self.epoch, val_result=result, is_best=True
+                )
         if (freq > 0 and (self.epoch + 1) % freq == 0) and not last_epoch:
             self.save_model(self.epoch)
 

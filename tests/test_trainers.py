@@ -186,3 +186,15 @@ def test_eval_handles_partial_final_batch(data_root, tmp_path):
     res = trainer.test()
     assert res["total"] == len(trainer.dm.dataset.test)
     assert res["correct"] <= res["total"]
+
+
+def test_best_val_final_model(data_root, tmp_path):
+    cfg = make_cfg(data_root, "CoOp", tmp_path / "bestval")
+    cfg.TEST.FINAL_MODEL = "best_val"
+    trainer = build_trainer(cfg)
+    trainer.train()
+    import os
+
+    best = os.path.join(str(tmp_path / "bestval"), "prompt_learner",
+                        "model-best.pth.tar")
+    assert os.path.exists(best)
