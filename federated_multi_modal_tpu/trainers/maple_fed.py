@@ -102,9 +102,15 @@ class MaPLeFederated(TrainerX):
             dm = DataManager(sub_cfg)
             datasets[name] = dm.dataset
 
-        # rename UCMerced vocabulary into PatternNet's (reference :84-96)
+        # rename UCMerced vocabulary into PatternNet's (reference :84-96).
+        # The local label->classname map is built over ALL splits — a class
+        # present only in val/test (possible with small or skewed splits)
+        # must still remap cleanly.
         def renamed_lab2cname(dataset, name):
             mapping = dict(dataset.lab2cname)
+            for split in (dataset.val, dataset.test):
+                for item in split or []:
+                    mapping.setdefault(item.label, item.classname)
             if name == "Ucmerced":
                 for k, cname in mapping.items():
                     mapping[k] = UCMERCED_RENAME_MAP.get(cname, cname)
