@@ -133,6 +133,13 @@ class TrainerBase:
         self.cfg = cfg
         self.check_cfg(cfg)
 
+        # attention implementation is chosen before any program traces
+        from federated_multi_modal_tpu.ops.primitives import set_attention_impl
+
+        set_attention_impl(
+            "pallas" if getattr(cfg.TPU, "USE_PALLAS_ATTENTION", False) else "xla"
+        )
+
         self._models: Dict[str, dict] = {}
 
         self.start_epoch = 0

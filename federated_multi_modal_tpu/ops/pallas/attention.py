@@ -126,3 +126,52 @@ def multi_head_attention_pallas(x, p, n_head, attn_mask=None, interpret=False):
     q, k, v = jnp.split(qkv, 3, axis=-1)
     out = fused_attention(q, k, v, n_head, attn_mask, interpret=interpret)
     return linear(out, p["w_out"], p["b_out"])
+
+
+# --------------------------------------------------------------------------
+# differentiable wrapper: Pallas kernel forward, XLA-recompute backward
+# --------------------------------------------------------------------------
+
+
+def _xla_attention(q, k, v, n_head, attn_mask):
+    """Reference attention used to derive the backward pass."""
+    B, T, D = q.shape
+    hd = D // n_head
+
+    def heads(t):
+        return t.reshape(B, T, n_head, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    scale = 1.0 / np.sqrt(hd)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if attn_mask is not None:
+        scores = scores + attn_mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention_diff(q, k, v, n_head, attn_mask=None):
+    """Differentiable fused attention: the forward runs the Pallas kernel;
+    the backward recomputes through the XLA formulation (one extra forward
+    in the backward pass — acceptable when the flag is used for training,
+    ideal when it isn't)."""
+    return fused_attention(q, k, v, n_head, attn_mask)
+
+
+def _fad_fwd(q, k, v, n_head, attn_mask):
+    return fused_attention(q, k, v, n_head, attn_mask), (q, k, v, attn_mask)
+
+
+def _fad_bwd(n_head, residuals, g):
+    q, k, v, attn_mask = residuals
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, n_head, attn_mask),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+fused_attention_diff.defvjp(_fad_fwd, _fad_bwd)

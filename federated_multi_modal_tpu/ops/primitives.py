@@ -43,6 +43,19 @@ def linear(x: jax.Array, w: jax.Array, b: jax.Array = None) -> jax.Array:
     return y
 
 
+# Attention implementation switch: "xla" (default; measured faster at
+# CLIP's shapes on v5e) or "pallas" (single-VMEM-block fused kernel,
+# ops/pallas/attention.py).  Set from cfg.TPU.USE_PALLAS_ATTENTION before
+# the jitted programs trace.
+_ATTENTION_IMPL = "xla"
+
+
+def set_attention_impl(impl: str) -> None:
+    global _ATTENTION_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _ATTENTION_IMPL = impl
+
+
 def multi_head_attention(
     x: jax.Array,
     p,
@@ -63,6 +76,14 @@ def multi_head_attention(
 
     qkv = linear(x, p["w_qkv"], p["b_qkv"])  # (B, T, 3D)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    if _ATTENTION_IMPL == "pallas":
+        from federated_multi_modal_tpu.ops.pallas.attention import (
+            fused_attention_diff,
+        )
+
+        out = fused_attention_diff(q, k, v, n_head, attn_mask)
+        return linear(out, p["w_out"], p["b_out"])
 
     def heads(t):  # (B, T, D) -> (B, H, T, hd)
         return t.reshape(B, T, n_head, head_dim).transpose(0, 2, 1, 3)

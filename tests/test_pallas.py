@@ -68,3 +68,64 @@ def test_fused_attention_padding_is_ignored(rng):
     pr = np.asarray(jax.nn.softmax(jnp.asarray(s), axis=-1))
     ref = (pr @ v[0])[None]
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_differentiable_wrapper_grads_match_xla(rng):
+    """fused_attention_diff: pallas forward + XLA-derived backward must
+    match the plain XLA attention's gradients."""
+    import jax
+
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    d, n_head, B, T = 128, 2, 1, 9
+    q = rng.standard_normal((B, T, d)).astype(np.float32)
+    k = rng.standard_normal((B, T, d)).astype(np.float32)
+    v = rng.standard_normal((B, T, d)).astype(np.float32)
+
+    def loss_xla(q, k, v):
+        return pa._xla_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), n_head, None
+        ).sum()
+
+    # interpret mode for the kernel forward on CPU
+    orig = pa.fused_attention
+    pa.fused_attention = lambda q, k, v, n, m=None: orig(
+        q, k, v, n, m, interpret=True
+    )
+    try:
+        def loss_pl(q, k, v):
+            return pa.fused_attention_diff(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), n_head, None
+            ).sum()
+
+        g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        pa.fused_attention = orig
+
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_attention_impl_switch(rng):
+    """set_attention_impl routes multi_head_attention through the kernel."""
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    d, n_head, B, T = 128, 2, 2, 11
+    x = rng.standard_normal((B, T, d)).astype(np.float32)
+    p = _params(rng, d)
+
+    ref = np.asarray(P.multi_head_attention(jnp.asarray(x), p, n_head))
+    orig = pa.fused_attention
+    pa.fused_attention = lambda q, k, v, n, m=None: orig(
+        q, k, v, n, m, interpret=True
+    )
+    P.set_attention_impl("pallas")
+    try:
+        got = np.asarray(P.multi_head_attention(jnp.asarray(x), p, n_head))
+    finally:
+        P.set_attention_impl("xla")
+        pa.fused_attention = orig
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
