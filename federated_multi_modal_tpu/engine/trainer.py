@@ -35,7 +35,6 @@ import numpy as np
 from federated_multi_modal_tpu.engine.checkpoint import (
     drop_class_conditioned,
     find_resume_checkpoint,
-    flatten_params,
     load_checkpoint,
     save_checkpoint,
     unflatten_into,

@@ -24,7 +24,7 @@ trained parameters and conditioning is per-sample.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

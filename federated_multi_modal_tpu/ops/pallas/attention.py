@@ -24,7 +24,6 @@ import numpy as np
 
 try:
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     _PALLAS_OK = True
 except Exception:  # pragma: no cover

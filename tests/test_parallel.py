@@ -137,3 +137,18 @@ def test_federated_parallel_clients_path(data_root, tmp_path):
     )
     assert max(v for v in jax.tree_util.tree_leaves(moved)) > 0
     assert fed.nan_stats["total_updates"] == 1
+
+
+def test_graft_entry_dryrun():
+    """Guard the driver hook: dryrun_multichip on the 8-device CPU mesh."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
