@@ -426,12 +426,25 @@ class FunctionalTrainerMixin:
                     if g is not None
                 )
             )
-            updates, opt_state = self.tx.update(grads, opt_state, trainable)
+            # skip-batch on non-finite gradients: keep params AND optimizer
+            # state untouched (the reference zero_grads and skips,
+            # trainers/maple.py:617-627)
+            finite = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+            updates, new_opt_state = self.tx.update(grads, opt_state, trainable)
+
+            def guarded(p, u):
+                if u is None:
+                    return p
+                return jnp.where(finite, p + u, p)
+
             trainable = jax.tree_util.tree_map(
-                lambda p, u: p if u is None else p + u,
-                trainable,
-                updates,
-                is_leaf=lambda x: x is None,
+                guarded, trainable, updates, is_leaf=lambda x: x is None
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old)
+                if hasattr(new, "shape") else new,
+                new_opt_state,
+                opt_state,
             )
             return trainable, opt_state, loss, gnorm, aux
 

@@ -198,3 +198,39 @@ def test_best_val_final_model(data_root, tmp_path):
     best = os.path.join(str(tmp_path / "bestval"), "prompt_learner",
                         "model-best.pth.tar")
     assert os.path.exists(best)
+
+
+def test_nonfinite_batch_skips_update(data_root, tmp_path):
+    """NaN inputs -> non-finite loss/grads -> params and momentum untouched
+    (the reference's skip-batch recovery, trainers/maple.py:617-627)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = make_cfg(data_root, "CoOp", tmp_path / "nanskip")
+    trainer = build_trainer(cfg)
+    ctx0 = np.asarray(trainer.trainable["prompt_learner"]["ctx"]).copy()
+
+    bad = {
+        "image": jnp.full((4, 32, 32, 3), jnp.nan, jnp.float32),
+        "label": jnp.zeros(4, jnp.int32),
+    }
+    summary = trainer.train_step(bad)
+    assert not np.isfinite(summary["loss"])
+    np.testing.assert_array_equal(
+        np.asarray(trainer.trainable["prompt_learner"]["ctx"]), ctx0
+    )
+    # momentum stayed zero
+    traces = [
+        x for x in jax.tree_util.tree_leaves(trainer.opt_state.inner_state)
+        if hasattr(x, "shape") and x.size > 1
+    ]
+    assert all(float(jnp.abs(t).max()) == 0.0 for t in traces)
+    # a good batch afterwards still updates
+    good = {
+        "image": jnp.zeros((4, 32, 32, 3), jnp.float32),
+        "label": jnp.zeros(4, jnp.int32),
+    }
+    trainer.train_step(good)
+    assert not np.allclose(
+        np.asarray(trainer.trainable["prompt_learner"]["ctx"]), ctx0
+    )
