@@ -27,9 +27,10 @@ A100_BASELINE_IPS = 16000 * 5 / 3600.0  # ~22.2 img/s (docs/RUN.md:8-10)
 def main():
     parser = argparse.ArgumentParser()
     # defaults mirror the baseline workload: the A100 number was
-    # measured on ImageNet (1000 classes); batch 256 is the v5e
-    # throughput-optimal point without remat
-    parser.add_argument("--batch-size", type=int, default=256)
+    # measured on ImageNet (1000 classes); batch 512 is the v5e
+    # throughput-optimal point without remat (the text tower's exact
+    # EOT-truncation keeps its activations small enough)
+    parser.add_argument("--batch-size", type=int, default=512)
     parser.add_argument("--n-cls", type=int, default=1000)
     parser.add_argument("--steps", type=int, default=15)
     parser.add_argument("--warmup", type=int, default=5)

@@ -81,6 +81,7 @@ def build_maple_program(
             "eot_index": const.eot_index,
         },
     }
+    text_len = const.text_len
 
     def features(trainable, frozen, images, caption_tokens=None):
         m = merge_trees(trainable, frozen["model"])
@@ -95,7 +96,7 @@ def build_maple_program(
             )
         txt = encode_text_embedded(
             m["clip"]["text"], arch, prompts, pc["eot_index"],
-            deep_prompts=text_deep, remat=remat,
+            deep_prompts=text_deep, remat=remat, max_len=text_len,
         )
         img = encode_image(
             m["clip"]["visual"], arch, images,

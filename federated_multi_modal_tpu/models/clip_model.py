@@ -181,6 +181,7 @@ def encode_text_embedded(
     eot_index: jax.Array,
     deep_prompts: Optional[Sequence[jax.Array]] = None,
     remat: bool = False,
+    max_len: Optional[int] = None,
 ) -> jax.Array:
     """Text transformer over pre-assembled prompt embeddings.
 
@@ -193,9 +194,18 @@ def encode_text_embedded(
         prompts: ``(N, 77, d)`` embeddings (SOS + ctx + class + EOS + pad).
         eot_index: ``(N,)`` int positions of the EOT token
             (``tokenized.argmax(-1)`` in the reference).
+        max_len: optional static truncation of the token axis.  With the
+            causal mask, positions ``<= i`` never attend to positions
+            ``> i``, so dropping the padding after the last EOT is
+            *mathematically exact* for EOT pooling — and cuts the text
+            tower's FLOPs by ~77/max_len (class prompts are ~8 tokens).
+            Pass ``PromptConstants.text_len``.
     """
+    if max_len is not None and prompts.shape[1] > max_len:
+        prompts = prompts[:, :max_len]
     dtype = params["text_projection"].dtype
-    x = prompts.astype(dtype) + params["positional_embedding"].astype(dtype)[None]
+    pos = params["positional_embedding"][: prompts.shape[1]]
+    x = prompts.astype(dtype) + pos.astype(dtype)[None]
     mask = build_causal_mask(x.shape[1])
 
     deep_prompts = deep_prompts or []

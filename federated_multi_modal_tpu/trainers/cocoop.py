@@ -121,7 +121,10 @@ class CoCoOp(FunctionalTrainerMixin, TrainerX):
             prompts = prompts.reshape(B * n_cls, arch.context_length, ctx_dim)
             eot = jnp.tile(pc["eot_index"], B)
 
-            txt = encode_text_embedded(frozen["clip"]["text"], arch, prompts, eot)
+            txt = encode_text_embedded(
+                frozen["clip"]["text"], arch, prompts, eot,
+                max_len=const.text_len,
+            )
             txt = l2_normalize(txt).reshape(B, n_cls, -1)
 
             scale = jnp.exp(frozen["clip"]["logit_scale"].astype(jnp.float32))

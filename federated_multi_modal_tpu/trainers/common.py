@@ -39,6 +39,10 @@ class PromptConstants:
     name_lens: List[int] = field(default_factory=list)
     n_cls: int = 0
     n_ctx: int = 0
+    # Static truncation point for the text tower: all EOT positions fall
+    # before ``text_len``, so running only the first ``text_len`` tokens
+    # through the causal transformer is exact (see encode_text_embedded).
+    text_len: int = 77
 
 
 def ctx_init_vectors(text_params, ctx_init: str, n_ctx: int) -> jnp.ndarray:
@@ -65,16 +69,21 @@ def build_prompt_constants(
 
     tokenized = jnp.asarray(tokenize(prompts))  # (n_cls, 77)
     embedding = embed_tokens(text_params, tokenized)
+    eot_index = jnp.argmax(tokenized, axis=-1)
+    # round up to the sublane multiple so the token axis tiles cleanly
+    max_eot = int(jnp.max(eot_index)) + 1
+    text_len = min(tokenized.shape[1], -(-max_eot // 8) * 8)
 
     return PromptConstants(
         tokenized=tokenized,
-        eot_index=jnp.argmax(tokenized, axis=-1),
+        eot_index=eot_index,
         token_prefix=embedding[:, :1, :],
         token_suffix=embedding[:, 1 + n_ctx :, :],
         full_embedding=embedding,
         name_lens=name_lens,
         n_cls=len(classnames),
         n_ctx=n_ctx,
+        text_len=text_len,
     )
 
 

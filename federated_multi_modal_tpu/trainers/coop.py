@@ -106,7 +106,8 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
                 pc["layout"],
             )
             return encode_text_embedded(
-                frozen["clip"]["text"], arch, prompts, pc["eot_index"]
+                frozen["clip"]["text"], arch, prompts, pc["eot_index"],
+                max_len=const.text_len,
             )
 
         def logits_fn(trainable, frozen, images):

@@ -123,6 +123,7 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
             txt = encode_text_embedded(
                 frozen["clip"]["text"], arch, prompts, pc["eot_index"],
                 deep_prompts=trainable["prompt_learner"]["deep_text"],
+                max_len=const.text_len,
             )
             img = encode_image(
                 frozen["clip"]["visual"], arch, images,
@@ -149,6 +150,7 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
             return encode_text_embedded(
                 frozen["clip"]["text"], arch, prompts, pc["eot_index"],
                 deep_prompts=trainable["prompt_learner"]["deep_text"],
+                max_len=const.text_len,
             )
 
         def eval_apply_fn(trainable, frozen, images, txt):

@@ -278,6 +278,7 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
             txt = encode_text_embedded(
                 m["clip"]["text"], arch, prompts, pc["eot_index"],
                 deep_prompts=text_deep, remat=remat,
+                max_len=const.text_len,
             )
             img = encode_image(
                 m["clip"]["visual"], arch, images,
@@ -338,7 +339,7 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
             )
             txt = encode_text_embedded(
                 m["clip"]["text"], arch, prompts, pc["eot_index"],
-                deep_prompts=text_deep,
+                deep_prompts=text_deep, max_len=const.text_len,
             )
             scale = jnp.clip(
                 jnp.exp(m["clip"]["logit_scale"].astype(jnp.float32)), None, 100.0

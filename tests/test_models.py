@@ -93,6 +93,35 @@ def test_text_causal_mask_padding_invariance(tiny):
     np.testing.assert_allclose(np.asarray(base), np.asarray(out), atol=1e-5)
 
 
+def test_text_truncation_is_exact(tiny):
+    """max_len truncation after the last EOT is mathematically exact: the
+    causal mask already prevents earlier positions from attending to the
+    dropped padding (this is the text-tower fast path every training step
+    uses via PromptConstants.text_len)."""
+    cfg, params = tiny
+    tokens = jnp.asarray(tokenize(["a photo of a cat.", "a photo of a dog."]))
+    x = embed_tokens(params["text"], tokens)
+    eot = jnp.argmax(tokens, axis=-1)
+    full = encode_text_embedded(params["text"], cfg, x, eot)
+    max_eot = int(np.asarray(eot).max()) + 1
+    text_len = -(-max_eot // 8) * 8
+    d = cfg.transformer_width
+    rng = np.random.default_rng(11)
+    deep = [rng.standard_normal((2, d)).astype(np.float32)]
+    for max_len in (text_len, max_eot, tokens.shape[1]):
+        out = encode_text_embedded(params["text"], cfg, x, eot, max_len=max_len)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(out), atol=1e-5,
+            err_msg=f"max_len={max_len}",
+        )
+    # exactness holds under deep prompt injection too
+    full_d = encode_text_embedded(params["text"], cfg, x, eot, deep_prompts=deep)
+    out_d = encode_text_embedded(
+        params["text"], cfg, x, eot, deep_prompts=deep, max_len=text_len
+    )
+    np.testing.assert_allclose(np.asarray(full_d), np.asarray(out_d), atol=1e-5)
+
+
 def test_text_deep_prompt_injection_changes_output(tiny):
     """Deep text prompts replace slots [1:1+n_ctx]; different prompt values
     at layer 1 must change the pooled feature."""

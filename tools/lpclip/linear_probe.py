@@ -22,9 +22,11 @@ SEARCH_LIST = [1e6, 1e4, 1e2, 1, 1e-2, 1e-4, 1e-6]
 
 
 def fit_acc(c, train_x, train_y, val_x, val_y):
-    clf = LogisticRegression(
-        solver="lbfgs", max_iter=1000, penalty="l2", C=c
-    ).fit(train_x, train_y)
+    # penalty defaults to l2 (the reference passes it explicitly; sklearn
+    # >=1.8 deprecates the kwarg)
+    clf = LogisticRegression(solver="lbfgs", max_iter=1000, C=c).fit(
+        train_x, train_y
+    )
     return clf, float((clf.predict(val_x) == val_y).mean())
 
 
