@@ -38,6 +38,10 @@ def main():
     parser.add_argument("--depth", type=int, default=9)
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize blocks (bigger batches)")
+    parser.add_argument("--attention", choices=["xla", "pallas"],
+                        default="pallas",
+                        help="attention impl (pallas = packed-QKV fused "
+                             "kernels on the unmasked vision path)")
     args = parser.parse_args()
 
     import jax
@@ -52,6 +56,10 @@ def main():
         sample_rrc_boxes,
     )
     from federated_multi_modal_tpu.tokenizer import tokenize
+
+    from federated_multi_modal_tpu.ops.primitives import set_attention_impl
+
+    set_attention_impl(args.attention)
 
     use_captions = not args.no_captions
     classnames = [f"class {i}" for i in range(args.n_cls)]

@@ -133,11 +133,14 @@ class TrainerBase:
         self.check_cfg(cfg)
 
         # attention implementation is chosen before any program traces
+        import jax
+
         from federated_multi_modal_tpu.ops.primitives import set_attention_impl
 
-        set_attention_impl(
-            "pallas" if getattr(cfg.TPU, "USE_PALLAS_ATTENTION", False) else "xla"
-        )
+        impl = getattr(cfg.TPU, "ATTENTION_IMPL", "auto")
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        set_attention_impl(impl)
 
         self._models: Dict[str, dict] = {}
 

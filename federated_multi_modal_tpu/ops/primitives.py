@@ -43,10 +43,12 @@ def linear(x: jax.Array, w: jax.Array, b: jax.Array = None) -> jax.Array:
     return y
 
 
-# Attention implementation switch: "xla" (default; measured faster at
-# CLIP's shapes on v5e) or "pallas" (single-VMEM-block fused kernel,
-# ops/pallas/attention.py).  Set from cfg.TPU.USE_PALLAS_ATTENTION before
-# the jitted programs trace.
+# Attention implementation switch: "pallas" (packed-QKV fused kernels with
+# an in-VMEM custom VJP — measured 1.6x on the full MaPLe train step at
+# ViT-B/16 shapes on v5e; ops/pallas/attention.py) or "xla".  Set from
+# cfg.TPU.ATTENTION_IMPL before the jitted programs trace ("auto" resolves
+# to pallas on TPU backends).  Module default stays "xla" so bare ops are
+# portable; trainers/bench set it explicitly.
 _ATTENTION_IMPL = "xla"
 
 
@@ -75,15 +77,24 @@ def multi_head_attention(
     head_dim = D // n_head
 
     qkv = linear(x, p["w_qkv"], p["b_qkv"])  # (B, T, 3D)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
 
     if _ATTENTION_IMPL == "pallas":
         from federated_multi_modal_tpu.ops.pallas.attention import (
             fused_attention_diff,
+            packed_attention,
+            packed_attention_eligible,
         )
 
+        if packed_attention_eligible(B, T, D, n_head, attn_mask):
+            # no-mask fast path (vision tower): one kernel each direction
+            # straight over the packed QKV tensor
+            out = packed_attention(qkv, n_head)
+            return linear(out, p["w_out"], p["b_out"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         out = fused_attention_diff(q, k, v, n_head, attn_mask)
         return linear(out, p["w_out"], p["b_out"])
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):  # (B, T, D) -> (B, H, T, hd)
         return t.reshape(B, T, n_head, head_dim).transpose(0, 2, 1, 3)

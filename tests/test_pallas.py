@@ -108,6 +108,91 @@ def test_differentiable_wrapper_grads_match_xla(rng):
                                    atol=2e-4, rtol=2e-4)
 
 
+def test_packed_attention_matches_xla(rng):
+    """Packed-QKV kernel (no transposes, in-VMEM scores): forward parity."""
+    import jax
+
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    d, n_head, B, T = 128, 2, 4, 16
+    qkv = rng.standard_normal((B, T, 3 * d)).astype(np.float32)
+    assert pa.packed_attention_eligible(B, T, d, n_head, None)
+
+    q, k, v = np.split(qkv, 3, axis=-1)
+    ref = np.asarray(pa._xla_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), n_head, None
+    ))
+    got = np.asarray(pa.packed_attention(jnp.asarray(qkv), n_head))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_packed_attention_grads_match_xla(rng):
+    """The in-kernel backward (recomputed scores, packed d(QKV)) must match
+    the XLA attention's VJP."""
+    import jax
+
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    d, n_head, B, T = 128, 2, 2, 8
+    qkv = rng.standard_normal((B, T, 3 * d)).astype(np.float32)
+    co = rng.standard_normal((B, T, d)).astype(np.float32)
+
+    def loss_xla(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return jnp.sum(pa._xla_attention(q, k, v, n_head, None) * co)
+
+    def loss_pl(qkv):
+        return jnp.sum(pa.packed_attention(qkv, n_head) * co)
+
+    g_ref = jax.grad(loss_xla)(jnp.asarray(qkv))
+    g_pl = jax.grad(loss_pl)(jnp.asarray(qkv))
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_ref), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_packed_attention_eligibility():
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    assert pa.packed_attention_eligible(512, 200, 768, 12, None)
+    assert pa.packed_attention_eligible(512, 199, 768, 12, None)  # pads to 200
+    assert not pa.packed_attention_eligible(
+        512, 200, 768, 12, np.zeros((200, 200))  # masked
+    )
+    assert not pa.packed_attention_eligible(2, 16, 48, 3, None)  # hd=16, H=3
+
+
+def test_packed_attention_unaligned_T(rng):
+    """T=13 pads to 16 with in-kernel key masking; parity incl. grads."""
+    import jax
+
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    d, n_head, B, T = 128, 2, 2, 13
+    qkv = rng.standard_normal((B, T, 3 * d)).astype(np.float32)
+    co = rng.standard_normal((B, T, d)).astype(np.float32)
+
+    def loss_xla(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return jnp.sum(pa._xla_attention(q, k, v, n_head, None) * co)
+
+    def loss_pl(qkv):
+        return jnp.sum(pa.packed_attention(qkv, n_head) * co)
+
+    np.testing.assert_allclose(
+        np.asarray(pa.packed_attention(jnp.asarray(qkv), n_head)),
+        np.asarray(pa._xla_attention(
+            *jnp.split(jnp.asarray(qkv), 3, axis=-1), n_head, None
+        )),
+        atol=2e-4, rtol=2e-4,
+    )
+    g_ref = jax.grad(loss_xla)(jnp.asarray(qkv))
+    g_pl = jax.grad(loss_pl)(jnp.asarray(qkv))
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_ref), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_attention_impl_switch(rng):
     """set_attention_impl routes multi_head_attention through the kernel."""
     from federated_multi_modal_tpu.ops import primitives as P
