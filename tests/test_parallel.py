@@ -152,3 +152,50 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_fed_round_checkpoint_and_resume(data_root, tmp_path):
+    """FED.CHECKPOINT_EVERY_ROUND writes model.pth.tar-round{N}; a fresh
+    trainer with RESUME pointing at the output dir restarts from the newest
+    round (preemption elasticity, SURVEY §5)."""
+    import os
+
+    def make(out, resume="", rounds=2):
+        cfg = get_cfg_default()
+        cfg.DATASET.ROOT = str(data_root)
+        cfg.DATASET.NAME = "Synthetic"
+        cfg.MODEL.BACKBONE.NAME = "Tiny"
+        cfg.INPUT.SIZE = (32, 32)
+        cfg.INPUT.CANVAS_SIZE = 40
+        cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+        cfg.DATALOADER.TEST.BATCH_SIZE = 8
+        cfg.OPTIM.MAX_EPOCH = rounds
+        cfg.OPTIM.LR = 0.01
+        cfg.TRAIN.PRINT_FREQ = 100
+        cfg.TRAINER.NAME = "MaPLeFederated"
+        cfg.TRAINER.MAPLE.PROMPT_DEPTH = 3
+        cfg.OUTPUT_DIR = str(out)
+        cfg.RESUME = resume
+        cfg.SEED = 1
+        cfg.VERBOSE = False
+        cfg.FED.NUM_CLIENTS = 2
+        cfg.FED.NUM_ROUNDS = rounds
+        cfg.FED.LOCAL_EPOCHS = 1
+        cfg.FED.DATASETS = ("Synthetic", "Synthetic")
+        cfg.FED.CLASSNAME_ONLY_DATASETS = ()
+        cfg.FED.CHECKPOINT_EVERY_ROUND = True
+        return build_trainer(cfg)
+
+    out = tmp_path / "fedrounds"
+    fed = make(out)
+    fed.train()
+    agg = out / "MultiModalPromptLearner_Aggregator"
+    assert os.path.exists(agg / "model.pth.tar-round1")
+    assert os.path.exists(agg / "model.pth.tar-round2")
+
+    resumed = make(tmp_path / "fedresume", resume=str(out), rounds=3)
+    assert resumed._resume_round() == 2
+    # resumed global weights equal the round-2 checkpoint
+    w_ckpt = np.asarray(fed.global_weights["prompt_learner"]["ctx"])
+    w_res = np.asarray(resumed.global_weights["prompt_learner"]["ctx"])
+    np.testing.assert_allclose(w_res, w_ckpt, atol=1e-6)
