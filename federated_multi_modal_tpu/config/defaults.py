@@ -206,6 +206,9 @@ def get_cfg_default() -> CN:
     cfg.TPU.MESH_SHAPE = ()          # e.g. (2, 4) -> ("client", "data")
     cfg.TPU.MESH_AXES = ("client", "data")
     cfg.TPU.DONATE_BUFFERS = True
+    # single-site DP over all visible devices (nn.DataParallel analog,
+    # reference trainers/maple.py:510-514): replicate params, shard batches
+    cfg.TPU.DATA_PARALLEL = True
     # "auto": packed-QKV Pallas kernels on TPU (1.6x train step at ViT-B/16
     # vision shapes), XLA elsewhere; "pallas"/"xla" force one implementation
     cfg.TPU.ATTENTION_IMPL = "auto"

@@ -70,6 +70,20 @@ class Classification:
                     f"total: {t:,}\tcorrect: {c:,}\tacc: {a:.2f}%"
                 )
             results["perclass_accuracy"] = float(np.mean(accs)) if accs else 0.0
+        if self.cfg.TEST.COMPUTE_CMAT and self._y_true:
+            # Dassl saves a confusion matrix to OUTPUT_DIR/cmat.pt; same
+            # artifact here as a numpy .npy
+            import os
+
+            y_true = np.asarray(self._y_true)
+            y_pred = np.asarray(self._y_pred)
+            n = int(max(y_true.max(), y_pred.max())) + 1
+            cmat = np.zeros((n, n), np.int64)
+            np.add.at(cmat, (y_true, y_pred), 1)
+            os.makedirs(self.cfg.OUTPUT_DIR, exist_ok=True)
+            path = os.path.join(self.cfg.OUTPUT_DIR, "cmat.npy")
+            np.save(path, cmat)
+            print(f"Confusion matrix is saved to {path}")
         return results
 
     def _macro_f1(self) -> float:

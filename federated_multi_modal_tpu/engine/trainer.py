@@ -471,6 +471,38 @@ class FunctionalTrainerMixin:
         else:
             self._eval_prepare = None
 
+        # Single-site data parallelism (the reference wraps every trainer's
+        # model in nn.DataParallel when >1 GPU is visible, e.g.
+        # trainers/maple.py:510-514).  TPU-native analog: replicate the
+        # pytrees over a 1-D "data" mesh and shard batches along axis 0 —
+        # GSPMD inserts the gradient all-reduce over ICI.
+        self._dp_mesh = None
+        if getattr(cfg.TPU, "DATA_PARALLEL", True) and jax.device_count() > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            devs = np.asarray(jax.devices())
+            self._dp_mesh = Mesh(devs, ("data",))
+            self._dp_sharded = NamedSharding(self._dp_mesh, PartitionSpec("data"))
+            self._dp_replicated = NamedSharding(self._dp_mesh, PartitionSpec())
+            # params/opt-state stay un-put: jit replicates uncommitted
+            # arrays automatically, and eager device_put here would break
+            # the frozen-CLIP buffer sharing across federated clients
+
+    def _dp_shard(self, tree):
+        """Shard batch leaves along axis 0 when divisible, else replicate."""
+        if self._dp_mesh is None:
+            return tree
+        n = self._dp_mesh.devices.size
+
+        def put(x):
+            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
+                return jax.device_put(x, self._dp_sharded)
+            if hasattr(x, "shape"):
+                return jax.device_put(x, self._dp_replicated)
+            return x
+
+        return jax.tree_util.tree_map(put, tree)
+
     def load_init_weights(self):
         """``cfg.MODEL.INIT_WEIGHTS`` support (Dassl ``load_pretrained_weights``
         analog, reference ``trainers/maple.py:489-490``): load a checkpoint
@@ -496,7 +528,8 @@ class FunctionalTrainerMixin:
         self.total_batches += 1
         self._eval_cache = None  # weights change -> cached eval state stale
         self.trainable, self.opt_state, loss, gnorm, aux = self._train_step(
-            self.trainable, self.frozen, self.opt_state, batch_dict
+            self.trainable, self.frozen, self.opt_state,
+            self._dp_shard(batch_dict),
         )
         loss = float(jax.device_get(loss))
         if not np.isfinite(loss):
@@ -513,6 +546,7 @@ class FunctionalTrainerMixin:
         return out
 
     def model_inference(self, images):
+        images = self._dp_shard(images)
         if self._eval_prepare is not None:
             if self._eval_cache is None:
                 self._eval_cache = self._eval_prepare(self.trainable, self.frozen)

@@ -202,3 +202,22 @@ def test_orbax_backend_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["a"]), 1.0)
     np.testing.assert_allclose(np.asarray(restored["b"]["c"]), 7.0)
     assert restored["b"]["d"] is None
+
+
+def test_evaluator_confusion_matrix(tmp_path):
+    """TEST.COMPUTE_CMAT saves a confusion matrix artifact (Dassl parity)."""
+    from federated_multi_modal_tpu.config import get_cfg_default
+    from federated_multi_modal_tpu.engine.evaluator import Classification
+
+    cfg = get_cfg_default()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TEST.COMPUTE_CMAT = True
+    ev = Classification(cfg)
+    logits = np.eye(3)[[0, 1, 2, 0]]
+    labels = np.array([0, 1, 1, 0])
+    ev.process(logits, labels)
+    ev.evaluate()
+    cmat = np.load(tmp_path / "cmat.npy")
+    assert cmat.shape == (3, 3)
+    assert cmat[1, 1] == 1 and cmat[1, 2] == 1 and cmat[0, 0] == 2
+    assert cmat.sum() == 4

@@ -199,3 +199,46 @@ def test_fed_round_checkpoint_and_resume(data_root, tmp_path):
     w_ckpt = np.asarray(fed.global_weights["prompt_learner"]["ctx"])
     w_res = np.asarray(resumed.global_weights["prompt_learner"]["ctx"])
     np.testing.assert_allclose(w_res, w_ckpt, atol=1e-6)
+
+
+def test_single_site_data_parallel_equivalence(data_root, tmp_path):
+    """TPU.DATA_PARALLEL (nn.DataParallel analog): batch sharded over the
+    8-device mesh must produce the same training trajectory as single-device
+    execution."""
+    import federated_multi_modal_tpu.trainers  # noqa: F401
+
+    def run(dp, out):
+        cfg = get_cfg_default()
+        cfg.DATASET.ROOT = str(data_root)
+        cfg.DATASET.NAME = "Synthetic"
+        cfg.MODEL.BACKBONE.NAME = "Tiny"
+        cfg.INPUT.SIZE = (32, 32)
+        cfg.INPUT.CANVAS_SIZE = 40
+        cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+        cfg.DATALOADER.TEST.BATCH_SIZE = 8
+        cfg.OPTIM.MAX_EPOCH = 1
+        cfg.OPTIM.LR = 0.02
+        cfg.TRAIN.PRINT_FREQ = 100
+        cfg.TRAINER.NAME = "CoOp"
+        cfg.OUTPUT_DIR = str(out)
+        cfg.SEED = 1
+        cfg.VERBOSE = False
+        cfg.TPU.DATA_PARALLEL = dp
+        trainer = build_trainer(cfg)
+        batch = {
+            "image": jnp.asarray(
+                np.random.default_rng(3).standard_normal((8, 32, 32, 3)),
+                jnp.float32,
+            ),
+            "label": jnp.asarray(np.arange(8) % 4, jnp.int32),
+        }
+        s1 = trainer.train_step(batch)
+        s2 = trainer.train_step(batch)
+        return s2["loss"], np.asarray(trainer.trainable["prompt_learner"]["ctx"])
+
+    import jax.numpy as jnp
+
+    loss_dp, ctx_dp = run(True, tmp_path / "dp")
+    loss_sd, ctx_sd = run(False, tmp_path / "sd")
+    assert abs(loss_dp - loss_sd) < 1e-4
+    np.testing.assert_allclose(ctx_dp, ctx_sd, atol=1e-5)
