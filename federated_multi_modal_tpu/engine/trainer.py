@@ -256,22 +256,40 @@ class TrainerBase:
         self.set_model_mode("train")
         losses = []
         self.num_batches = len(self.train_loader_x)
+        # deferred dispatch: don't block on a host<->device round trip per
+        # batch — drain summaries in one transfer at each print boundary
+        defer = hasattr(self, "drain_summaries")
+        if defer:
+            self._sync_steps = False
         end = time.time()
-        for self.batch_idx, batch in enumerate(self.train_loader_x):
-            loss_summary = self.forward_backward(batch)
-            losses.append(loss_summary.get("loss", 0.0))
-            if (
-                (self.batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
-                or self.num_batches < self.cfg.TRAIN.PRINT_FREQ
-            ):
-                info = " ".join(f"{k} {v:.4f}" for k, v in loss_summary.items())
-                print(
-                    f"epoch [{self.epoch + 1}/{self.max_epoch}] "
-                    f"batch [{self.batch_idx + 1}/{self.num_batches}] "
-                    f"{info} lr {self.get_current_lr():.4e} "
-                    f"time {time.time() - end:.3f}"
+        try:
+            for self.batch_idx, batch in enumerate(self.train_loader_x):
+                loss_summary = self.forward_backward(batch)
+                boundary = (
+                    (self.batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
+                    or self.num_batches < self.cfg.TRAIN.PRINT_FREQ
+                    or (self.batch_idx + 1) == self.num_batches
                 )
-            end = time.time()
+                if defer and boundary:
+                    drained = self.drain_summaries()
+                    losses.extend(d["loss"] for d in drained)
+                    loss_summary = drained[-1] if drained else None
+                elif not defer:
+                    losses.append(loss_summary.get("loss", 0.0))
+                if boundary and loss_summary is not None:
+                    info = " ".join(
+                        f"{k} {v:.4f}" for k, v in loss_summary.items()
+                    )
+                    print(
+                        f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                        f"batch [{self.batch_idx + 1}/{self.num_batches}] "
+                        f"{info} lr {self.get_current_lr():.4e} "
+                        f"time {time.time() - end:.3f}"
+                    )
+                end = time.time()
+        finally:
+            if defer:
+                self._sync_steps = True
         return float(np.mean(losses)) if losses else 0.0
 
     def forward_backward(self, batch) -> dict:
@@ -314,6 +332,10 @@ class TrainerBase:
         print(f"Evaluate on the *{split}* set")
 
         batch_size = loader.batch_size
+        # one-batch pipeline lag: dispatch batch k+1 before materializing
+        # batch k's logits, so the host->device transfer and the device
+        # compute overlap instead of serializing on device_get each batch
+        pending = None
         for batch in loader:
             images = self.parse_batch_images(batch)
             labels = batch["label"]
@@ -323,8 +345,14 @@ class TrainerBase:
                 images = jnp.concatenate(
                     [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)]
                 )
-            logits = np.asarray(self.model_inference(images))[:n]
-            self.evaluator.process(logits, labels)
+            logits_dev = self.model_inference(images)
+            if pending is not None:
+                self.evaluator.process(np.asarray(pending[0])[: pending[1]],
+                                       pending[2])
+            pending = (logits_dev, n, labels)
+        if pending is not None:
+            self.evaluator.process(np.asarray(pending[0])[: pending[1]],
+                                   pending[2])
         return self.evaluator.evaluate()
 
     # -- checkpointing ------------------------------------------------------------
@@ -412,6 +440,12 @@ class FunctionalTrainerMixin:
         # (trainers/maple.py:398-400, 617-627) — bf16 rarely trips it
         self.nan_count = 0
         self.total_batches = 0
+        # deferred-sync mode: the training loops flip _sync_steps off so a
+        # step's loss is NOT device_get per batch (a host<->device round
+        # trip that serializes dispatch); summaries accumulate on device
+        # and drain in one transfer at print boundaries
+        self._sync_steps = True
+        self._pending_summaries = []
 
         donate = (0, 2) if cfg.TPU.DONATE_BUFFERS else ()
 
@@ -524,25 +558,40 @@ class FunctionalTrainerMixin:
         print(f"Initialized {len(used)} tensors from {path}")
 
     # -- training -----------------------------------------------------------
-    def train_step(self, batch_dict) -> dict:
+    def train_step(self, batch_dict):
+        """One optimizer step.  Returns the float summary dict, or ``None``
+        in deferred mode (``_sync_steps`` off) — drain with
+        :meth:`drain_summaries`."""
         self.total_batches += 1
         self._eval_cache = None  # weights change -> cached eval state stale
         self.trainable, self.opt_state, loss, gnorm, aux = self._train_step(
             self.trainable, self.frozen, self.opt_state,
             self._dp_shard(batch_dict),
         )
-        loss = float(jax.device_get(loss))
+        if not self._sync_steps:
+            self._pending_summaries.append((loss, gnorm, aux))
+            return None
+        return self._finalize_summary(*jax.device_get((loss, gnorm, aux)))
+
+    def drain_summaries(self) -> list:
+        """Materialize all pending deferred step summaries (one transfer)."""
+        if not self._pending_summaries:
+            return []
+        pending, self._pending_summaries = self._pending_summaries, []
+        return [self._finalize_summary(*t) for t in jax.device_get(pending)]
+
+    def _finalize_summary(self, loss, gnorm, aux) -> dict:
+        loss = float(loss)
         if not np.isfinite(loss):
-            # skip-batch semantics: the optimizer already applied a step, so
-            # the reference's "zero_grad and skip" maps to restoring finite
-            # state lazily at the aggregation/validity gates; count it here
+            # skip-batch semantics: params/momentum were left untouched by
+            # the non-finite gate inside _train_step; count it here
             self.nan_count += 1
             print(
                 f"NaN rate: {self.nan_count / max(1, self.total_batches):.2%}"
             )
-        out = {"loss": loss, "grad_norm": float(jax.device_get(gnorm))}
+        out = {"loss": loss, "grad_norm": float(gnorm)}
         if aux:
-            out.update({k: float(jax.device_get(v)) for k, v in aux.items()})
+            out.update({k: float(v) for k, v in aux.items()})
         return out
 
     def model_inference(self, images):

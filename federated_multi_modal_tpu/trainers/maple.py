@@ -413,21 +413,40 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
     def forward_backward(self, batch):
         step = self.parse_batch_train(batch)
         summary = self.train_step(step)
+        if summary is None:  # deferred mode: checked at drain time
+            return None
         if not np.isfinite(summary["loss"]):
             # reference hard-raises on NaN/Inf loss (trainers/maple.py:375-376)
             raise RuntimeError("NaN/Inf in total loss")
         self.grad_norms.append(summary.get("grad_norm", 0.0))
         return summary
 
+    def _drain_checked(self, total_loss, steps):
+        """Materialize deferred summaries; reproduce forward_backward's
+        NaN hard-raise and grad-norm history at the drain point."""
+        for s in self.drain_summaries():
+            if not np.isfinite(s["loss"]):
+                raise RuntimeError("NaN/Inf in total loss")
+            self.grad_norms.append(s.get("grad_norm", 0.0))
+            total_loss += s["loss"]
+            steps += 1
+        return total_loss, steps
+
     # -- aggregator-driven local training (trainers/maple.py:629-653) ----------
     def run_epoch(self, epoch=None):
         self.set_model_mode("train")
         total_loss, steps = 0.0, 0
         self.num_batches = len(self.train_loader_x)
-        for self.batch_idx, batch in enumerate(self.train_loader_x):
-            summary = self.forward_backward(batch)
-            total_loss += summary["loss"]
-            steps += 1
+        freq = max(1, self.cfg.TRAIN.PRINT_FREQ)
+        self._sync_steps = False
+        try:
+            for self.batch_idx, batch in enumerate(self.train_loader_x):
+                self.forward_backward(batch)
+                if (self.batch_idx + 1) % freq == 0:
+                    total_loss, steps = self._drain_checked(total_loss, steps)
+            total_loss, steps = self._drain_checked(total_loss, steps)
+        finally:
+            self._sync_steps = True
         if epoch is None:
             # standalone TrainerX path steps LR in forward_backward position
             self.update_lr()
