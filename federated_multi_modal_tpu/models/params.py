@@ -102,6 +102,17 @@ BACKBONE_CONFIGS = {
         embed_dim=512, vision_layers=(3, 4, 23, 3), vision_width=64,
         vision_patch_size=0,
     ),
+    # EfficientNet-style scaled ResNets (reference table clip/clip.py:32-33)
+    "RN50x4": CLIPConfig(
+        embed_dim=640, image_resolution=288,
+        vision_layers=(4, 6, 10, 6), vision_width=80, vision_patch_size=0,
+        transformer_width=640, transformer_heads=10,
+    ),
+    "RN50x16": CLIPConfig(
+        embed_dim=768, image_resolution=384,
+        vision_layers=(6, 8, 18, 8), vision_width=96, vision_patch_size=0,
+        transformer_width=768, transformer_heads=12,
+    ),
     "Tiny": None,  # replaced below (tiny_test_config not yet defined here)
     "ViT-L/14": CLIPConfig(
         embed_dim=768,

@@ -134,3 +134,32 @@ def test_rn_zeroshot_smoke(tmp_path):
         assert 0.0 <= res["accuracy"] <= 100.0
     finally:
         del BACKBONE_CONFIGS["TinyRN"]
+
+
+def test_scaled_resnet_catalog_configs():
+    """RN50x4 / RN50x16 catalog entries (reference clip/clip.py:32-33):
+    params initialize and the stem produces the right spatial grid."""
+    import jax
+
+    from federated_multi_modal_tpu.models.params import (
+        BACKBONE_CONFIGS,
+        init_clip_params,
+    )
+
+    for name, res, width, embed in [("RN50x4", 288, 80, 640),
+                                    ("RN50x16", 384, 96, 768)]:
+        cfg = BACKBONE_CONFIGS[name]
+        assert not cfg.is_vit
+        assert cfg.image_resolution == res
+        assert cfg.vision_width == width
+        assert cfg.embed_dim == embed
+        rc = cfg.resnet_config()
+        # attention-pool spacial dim = resolution / 32
+        assert rc.input_resolution // 32 == res // 32
+        params = init_clip_params(cfg, jax.random.PRNGKey(0),
+                                  dtype_policy=False)
+        # attention-pool positional embedding covers the final grid + CLS
+        pe = params["visual"]["attnpool"]["positional_embedding"]
+        assert pe.shape[0] == (res // 32) ** 2 + 1
+        # embedding table matches the transformer width
+        assert params["text"]["token_embedding"].shape[1] == cfg.transformer_width
