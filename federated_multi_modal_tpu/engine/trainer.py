@@ -357,6 +357,10 @@ class TrainerBase:
 
     # -- checkpointing ------------------------------------------------------------
     def save_model(self, epoch=None, directory="", is_best=False, val_result=None):
+        from federated_multi_modal_tpu.parallel.multihost import is_main_process
+
+        if not is_main_process():  # one writer per pod
+            return
         if not directory:
             directory = self.output_dir
         epoch = self.epoch if epoch is None else epoch

@@ -1,0 +1,110 @@
+"""Multi-host (pod / multi-slice) runtime support.
+
+The reference has no distributed runtime at all (SURVEY §2.4: no
+torch.distributed, NCCL or MPI anywhere); scaling past one host is a new
+capability of this framework.  The JAX model: every host runs the same
+program, `jax.distributed.initialize` wires the coordinator, `jax.devices()`
+then returns the GLOBAL device list, and the SPMD programs (client/data
+meshes, `parallel/mesh.py`) span hosts transparently — collectives ride ICI
+within a slice and DCN across slices.
+
+Host-side effects (logging, checkpoint writes, metric prints) are guarded
+to process 0 via :func:`is_main_process`.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def initialize_multihost(
+    coordinator_address: str = None,
+    num_processes: int = None,
+    process_id: int = None,
+) -> bool:
+    """Initialize ``jax.distributed`` when a multi-host run is configured.
+
+    Safe to call unconditionally: single-host runs (no coordinator env, no
+    TPU pod metadata) are a no-op.  Returns True when a multi-process
+    runtime is active after the call.
+
+    Configuration sources, in order:
+      * explicit arguments
+      * ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+        ``JAX_PROCESS_ID`` environment variables
+      * TPU pod metadata (``jax.distributed.initialize()`` auto-detects on
+        Cloud TPU when no arguments are given)
+    """
+    import jax
+
+    try:
+        if jax.process_count() > 1:
+            return True
+    except Exception:
+        pass
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    if num_processes is None and env_np is not None:
+        num_processes = int(env_np)
+    if process_id is None and env_pid is not None:
+        process_id = int(env_pid)
+
+    workers = [
+        w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
+    ]
+    pod = len(workers) > 1 or bool(
+        os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not coordinator_address and not pod:
+        return False
+    try:
+        if coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            # Cloud TPU pod: runtime metadata carries the topology
+            jax.distributed.initialize()
+    except RuntimeError as e:
+        # backend already initialized (e.g. preloaded by the environment):
+        # a real pod run must initialize before first JAX use
+        import warnings
+
+        warnings.warn(f"multi-host initialize skipped: {e}")
+        return False
+    return jax.process_count() > 1
+
+
+def is_main_process() -> bool:
+    """True on the host that should write checkpoints/logs (process 0)."""
+    import jax
+
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def process_count() -> int:
+    import jax
+
+    try:
+        return jax.process_count()
+    except Exception:
+        return 1
+
+
+def sync_hosts(tag: str = "barrier") -> None:
+    """Cross-host barrier (e.g. before reading a checkpoint another host
+    wrote).  No-op on single-host runs."""
+    if process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)

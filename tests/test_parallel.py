@@ -242,3 +242,19 @@ def test_single_site_data_parallel_equivalence(data_root, tmp_path):
     loss_sd, ctx_sd = run(False, tmp_path / "sd")
     assert abs(loss_dp - loss_sd) < 1e-4
     np.testing.assert_allclose(ctx_dp, ctx_sd, atol=1e-5)
+
+
+def test_multihost_helpers_single_host():
+    """Single-host semantics: initialize is a no-op, this process is main,
+    sync_hosts returns immediately."""
+    from federated_multi_modal_tpu.parallel import (
+        initialize_multihost,
+        is_main_process,
+        process_count,
+        sync_hosts,
+    )
+
+    assert initialize_multihost() is False
+    assert is_main_process()
+    assert process_count() == 1
+    sync_hosts("test")  # no-op, must not raise

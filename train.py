@@ -71,11 +71,23 @@ def setup_cfg(args):
 
 
 def main(args):
+    from federated_multi_modal_tpu.parallel import (
+        initialize_multihost,
+        is_main_process,
+        process_count,
+    )
+
+    # multi-host pods: wire the jax.distributed coordinator before any
+    # backend use; single-host runs are a no-op
+    if initialize_multihost():
+        print(f"Multi-host run: {process_count()} processes")
+
     cfg = setup_cfg(args)
     if cfg.SEED >= 0:
         print(f"Setting fixed seed: {cfg.SEED}")
         set_random_seed(cfg.SEED)
-    setup_logger(cfg.OUTPUT_DIR)
+    if is_main_process():  # one log.txt writer per pod
+        setup_logger(cfg.OUTPUT_DIR)
 
     print_args(args, cfg)
     print("Collecting env info ...")
