@@ -97,3 +97,24 @@ def test_feat_extractor_end_to_end(tmp_path):
     feats, labels = f["feature_list"], f["label_list"]
     assert feats.ndim == 2 and feats.shape[0] == labels.shape[0]
     assert feats.shape[0] > 0
+
+
+def test_parse_test_res_base2new(tmp_path):
+    """--base2new aggregates base/new seed logs and prints the harmonic
+    mean (the reference's headline base-to-novel metric)."""
+    import subprocess
+
+    for sub, acc in [("base", "80.00"), ("new", "70.00")]:
+        d = tmp_path / sub / "seed1"
+        d.mkdir(parents=True)
+        (d / "log.txt").write_text(
+            f"Finished training\n=> result\n* accuracy: {acc}%\n"
+        )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "parse_test_res.py"),
+         str(tmp_path), "--base2new"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "* H: 74.67%" in out.stdout
+    assert "* base: 80.00%" in out.stdout

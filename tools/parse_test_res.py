@@ -89,6 +89,26 @@ def main(args, end_signal):
         "regex": re.compile(rf"\* {args.keyword}: ([\.\deE+-]+)%"),
     }
 
+    if args.base2new:
+        # harmonic mean of base/new accuracies, the reference's headline
+        # base-to-novel metric (README.md:99-120); expects <dir>/{base,new}
+        results = {}
+        for sub in ("base", "new"):
+            subdir = osp.join(args.directory, sub)
+            assert osp.isdir(subdir), f"Missing split directory: {subdir}"
+            res = parse_function(
+                metric, directory=subdir, args=args, end_signal=end_signal
+            )
+            results[sub] = res[args.keyword]
+        hm = 2 * results["base"] * results["new"] / max(
+            1e-12, results["base"] + results["new"]
+        )
+        print("Base-to-new summary")
+        print(f"* base: {results['base']:.2f}%")
+        print(f"* new: {results['new']:.2f}%")
+        print(f"* H: {hm:.2f}%")
+        return
+
     if args.multi_exp:
         final_results = defaultdict(list)
         for directory in listdir_nohidden(args.directory, sort=True):
@@ -117,6 +137,10 @@ if __name__ == "__main__":
     parser.add_argument("--test-log", action="store_true", help="parse test-only logs")
     parser.add_argument(
         "--multi-exp", action="store_true", help="parse multiple experiments"
+    )
+    parser.add_argument(
+        "--base2new", action="store_true",
+        help="aggregate <dir>/{base,new} and report the harmonic mean (H)",
     )
     parser.add_argument(
         "--keyword", default="accuracy", type=str, help="which keyword to extract"
