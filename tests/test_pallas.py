@@ -214,3 +214,32 @@ def test_attention_impl_switch(rng):
         P.set_attention_impl("xla")
         pa.fused_attention = orig
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_packed_attention_under_vmap(rng):
+    """The fed-parallel path vmaps the loss over clients; packed attention
+    must batch correctly in both directions."""
+    import jax
+
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    C, B, T, d, n_head = 2, 2, 8, 128, 2
+    qkv = rng.standard_normal((C, B, T, 3 * d)).astype(np.float32)
+    co = rng.standard_normal((C, B, T, d)).astype(np.float32)
+
+    def loss(qkv, co):
+        return jnp.sum(pa.packed_attention(qkv, n_head) * co)
+
+    def loss_ref(qkv, co):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return jnp.sum(pa._xla_attention(q, k, v, n_head, None) * co)
+
+    g = jax.grad(lambda q: jnp.sum(jax.vmap(loss)(q, jnp.asarray(co))))(
+        jnp.asarray(qkv)
+    )
+    g_ref = jax.grad(
+        lambda q: jnp.sum(jax.vmap(loss_ref)(q, jnp.asarray(co)))
+    )(jnp.asarray(qkv))
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=2e-4, rtol=2e-4
+    )
