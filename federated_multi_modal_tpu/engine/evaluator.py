@@ -77,7 +77,11 @@ class Classification:
 
             y_true = np.asarray(self._y_true)
             y_pred = np.asarray(self._y_pred)
+            # full class vocabulary, not max observed label (Dassl's cmat
+            # covers all classes even when a split omits some)
             n = int(max(y_true.max(), y_pred.max())) + 1
+            if self._lab2cname:
+                n = max(n, max(self._lab2cname) + 1)
             cmat = np.zeros((n, n), np.int64)
             np.add.at(cmat, (y_true, y_pred), 1)
             os.makedirs(self.cfg.OUTPUT_DIR, exist_ok=True)

@@ -133,8 +133,6 @@ class TrainerBase:
         self.check_cfg(cfg)
 
         # attention implementation is chosen before any program traces
-        import jax
-
         from federated_multi_modal_tpu.ops.primitives import set_attention_impl
 
         impl = getattr(cfg.TPU, "ATTENTION_IMPL", "auto")
@@ -240,6 +238,11 @@ class TrainerBase:
         if not self.cfg.TEST.NO_TEST:
             if self.cfg.TEST.FINAL_MODEL == "best_val":
                 print("Deploy the model with the best val performance")
+                from federated_multi_modal_tpu.parallel.multihost import (
+                    sync_hosts,
+                )
+
+                sync_hosts("best-val-checkpoint")  # process 0 wrote it
                 self.load_model(self.output_dir)
             self.test()
         self.save_model(self.epoch)
@@ -289,7 +292,7 @@ class TrainerBase:
                 end = time.time()
         finally:
             if defer:
-                self._sync_steps = True
+                self.end_deferred()
         return float(np.mean(losses)) if losses else 0.0
 
     def forward_backward(self, batch) -> dict:
@@ -397,6 +400,9 @@ class TrainerBase:
             self._models[name]["set"](state_dict)
 
     def resume_model_if_exist(self, directory) -> int:
+        from federated_multi_modal_tpu.parallel.multihost import sync_hosts
+
+        sync_hosts("resume-checkpoint")  # written by process 0
         start = 0
         for name in self.get_model_names():
             fpath = find_resume_checkpoint(osp.join(directory, name))
@@ -515,7 +521,14 @@ class FunctionalTrainerMixin:
         # pytrees over a 1-D "data" mesh and shard batches along axis 0 —
         # GSPMD inserts the gradient all-reduce over ICI.
         self._dp_mesh = None
-        if getattr(cfg.TPU, "DATA_PARALLEL", True) and jax.device_count() > 1:
+        if (
+            getattr(cfg.TPU, "DATA_PARALLEL", True)
+            and jax.device_count() > 1
+            and jax.process_count() == 1
+            # multi-host data parallelism needs
+            # make_array_from_process_local_data, not an eager device_put
+            # onto non-addressable devices
+        ):
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
             devs = np.asarray(jax.devices())
@@ -583,6 +596,12 @@ class FunctionalTrainerMixin:
             return []
         pending, self._pending_summaries = self._pending_summaries, []
         return [self._finalize_summary(*t) for t in jax.device_get(pending)]
+
+    def end_deferred(self):
+        """Leave deferred mode; discard summaries an aborted epoch left
+        behind so they cannot leak into the next drain."""
+        self._sync_steps = True
+        self._pending_summaries = []
 
     def _finalize_summary(self, loss, gnorm, aux) -> dict:
         loss = float(loss)

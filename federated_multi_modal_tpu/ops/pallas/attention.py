@@ -87,7 +87,7 @@ def fused_attention(
     v: jax.Array,
     n_head: int,
     attn_mask: jax.Array = None,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jax.Array:
     """Fused multi-head attention.
 
@@ -95,11 +95,13 @@ def fused_attention(
         q, k, v: ``(B, T, D)`` projected activations.
         n_head: head count (``D % n_head == 0``).
         attn_mask: optional additive ``(T, T)`` mask (causal for text).
-        interpret: run the kernel in interpreter mode (CPU testing).
+        interpret: run the kernel in interpreter mode (None = auto: on for
+            CPU backends so a forced "pallas" impl still runs everywhere).
 
     Returns:
         ``(B, T, D)`` attention output (pre out-projection).
     """
+    interpret = _auto_interpret(interpret)
     B, T, D = q.shape
     hd = D // n_head
     Tp = _round_up(T, 8)

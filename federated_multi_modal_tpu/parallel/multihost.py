@@ -37,11 +37,11 @@ def initialize_multihost(
     """
     import jax
 
-    try:
-        if jax.process_count() > 1:
-            return True
-    except Exception:
-        pass
+    # NOTE: do NOT probe jax.process_count()/jax.devices() here — any
+    # backend query initializes XLA and makes jax.distributed.initialize
+    # raise unconditionally afterwards.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
 
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"

@@ -446,7 +446,7 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
                     total_loss, steps = self._drain_checked(total_loss, steps)
             total_loss, steps = self._drain_checked(total_loss, steps)
         finally:
-            self._sync_steps = True
+            self.end_deferred()
         if epoch is None:
             # standalone TrainerX path steps LR in forward_backward position
             self.update_lr()
