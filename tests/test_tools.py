@@ -118,3 +118,75 @@ def test_parse_test_res_base2new(tmp_path):
     assert out.returncode == 0, out.stderr
     assert "* H: 74.67%" in out.stdout
     assert "* base: 80.00%" in out.stdout
+
+
+def test_clip_api_load_surface(tmp_path):
+    """clip_api: available_models parity with the reference table, local
+    torch checkpoint conversion, and the air-gapped random fallback."""
+    import torch
+
+    from federated_multi_modal_tpu import clip_api
+
+    assert set(clip_api.available_models()) == {
+        "RN50", "RN101", "RN50x4", "RN50x16", "ViT-B/32", "ViT-B/16",
+        "ViT-L/14",
+    }
+
+    # fabricate a tiny OpenAI-format ViT checkpoint (visual.* / text keys)
+    w, d, layers, vocab, ctx_len = 128, 64, 2, 100, 16
+    patch, grid = 16, 2
+
+    def block(prefix, width):
+        return {
+            f"{prefix}.ln_1.weight": torch.randn(width),
+            f"{prefix}.ln_1.bias": torch.randn(width),
+            f"{prefix}.attn.in_proj_weight": torch.randn(3 * width, width),
+            f"{prefix}.attn.in_proj_bias": torch.randn(3 * width),
+            f"{prefix}.attn.out_proj.weight": torch.randn(width, width),
+            f"{prefix}.attn.out_proj.bias": torch.randn(width),
+            f"{prefix}.ln_2.weight": torch.randn(width),
+            f"{prefix}.ln_2.bias": torch.randn(width),
+            f"{prefix}.mlp.c_fc.weight": torch.randn(4 * width, width),
+            f"{prefix}.mlp.c_fc.bias": torch.randn(4 * width),
+            f"{prefix}.mlp.c_proj.weight": torch.randn(width, 4 * width),
+            f"{prefix}.mlp.c_proj.bias": torch.randn(width),
+        }
+
+    sd = {
+        "visual.proj": torch.randn(w, d),
+        "visual.conv1.weight": torch.randn(w, 3, patch, patch),
+        "visual.class_embedding": torch.randn(w),
+        "visual.positional_embedding": torch.randn(grid * grid + 1, w),
+        "visual.ln_pre.weight": torch.randn(w),
+        "visual.ln_pre.bias": torch.randn(w),
+        "visual.ln_post.weight": torch.randn(w),
+        "visual.ln_post.bias": torch.randn(w),
+        "text_projection": torch.randn(w, d),
+        "positional_embedding": torch.randn(ctx_len, w),
+        "token_embedding.weight": torch.randn(vocab, w),
+        "ln_final.weight": torch.randn(w),
+        "ln_final.bias": torch.randn(w),
+        "logit_scale": torch.tensor(2.0),
+    }
+    for i in range(layers):
+        sd.update(block(f"visual.transformer.resblocks.{i}", w))
+        sd.update(block(f"transformer.resblocks.{i}", w))
+
+    path = tmp_path / "tiny.pt"
+    torch.save(sd, str(path))
+    arch, params = clip_api.load(str(path))
+    assert arch.vision_width == w and arch.vision_patch_size == patch
+    assert arch.image_resolution == patch * grid
+    assert arch.transformer_layers == layers and arch.vocab_size == vocab
+    # torch linear weights are (out, in); converted JAX weights input-major
+    np.testing.assert_allclose(
+        np.asarray(params["visual"]["blocks"][0]["attn"]["w_qkv"],
+                   np.float32),
+        sd["visual.transformer.resblocks.0.attn.in_proj_weight"].numpy().T,
+        atol=2e-2,  # bf16 dtype policy quantization
+    )
+
+    # air-gapped fallback: known name, no cache/egress -> random init
+    arch2, p2 = clip_api.load("ViT-B/16", download_root=str(tmp_path))
+    assert arch2.vision_patch_size == 16
+    assert p2["text"]["token_embedding"].shape[0] == 49408
