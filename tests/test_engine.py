@@ -221,3 +221,24 @@ def test_evaluator_confusion_matrix(tmp_path):
     assert cmat.shape == (3, 3)
     assert cmat[1, 1] == 1 and cmat[1, 2] == 1 and cmat[0, 0] == 2
     assert cmat.sum() == 4
+
+
+def test_profiling_harness(tmp_path):
+    """TRAIN.PROFILE_DIR: trace context writes a profile; StepTimer syncs."""
+    import jax.numpy as jnp
+
+    from federated_multi_modal_tpu.utils.profiling import StepTimer, trace
+
+    with trace(""):  # disabled: no-op
+        pass
+
+    pdir = tmp_path / "prof"
+    with trace(str(pdir)):
+        _ = jnp.ones(8) + 1
+    assert pdir.exists() and any(pdir.rglob("*"))
+
+    timer = StepTimer(sync_every=2)
+    for _ in range(4):
+        timer.step(jnp.ones(4))
+    assert len(timer.history) == 2
+    assert timer.avg_step_seconds >= 0.0
