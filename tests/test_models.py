@@ -286,3 +286,108 @@ def test_checkpoint_conversion_vision_runs():
     imgs = jnp.zeros((2, arch.image_resolution, arch.image_resolution, 3))
     feats = encode_image(params["visual"], arch, imgs)
     assert feats.shape == (2, arch.embed_dim)
+
+
+class _TorchViT(nn.Module):
+    """Vanilla CLIP VisionTransformer (reference clip/model.py:383-455):
+    strided conv patchify -> class token -> pos embed -> ln_pre -> blocks ->
+    ln_post on CLS -> projection."""
+
+    def __init__(self, width, layers, heads, patch, res, embed_dim):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width, kernel_size=patch, stride=patch,
+                               bias=False)
+        scale = width ** -0.5
+        n_tok = (res // patch) ** 2 + 1
+        self.class_embedding = nn.Parameter(torch.randn(width) * scale)
+        self.positional_embedding = nn.Parameter(
+            torch.randn(n_tok, width) * scale
+        )
+        self.ln_pre = nn.LayerNorm(width)
+        self.blocks = nn.ModuleList()
+        for _ in range(layers):
+            self.blocks.append(nn.ModuleDict({
+                "attn": nn.MultiheadAttention(width, heads, batch_first=True),
+                "ln_1": nn.LayerNorm(width),
+                "c_fc": nn.Linear(width, width * 4),
+                "c_proj": nn.Linear(width * 4, width),
+                "ln_2": nn.LayerNorm(width),
+            }))
+        self.ln_post = nn.LayerNorm(width)
+        self.proj = nn.Parameter(torch.randn(width, embed_dim) * scale)
+
+    def forward(self, x):  # (B, 3, H, W)
+        x = self.conv1(x)
+        x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+        cls = self.class_embedding[None, None].expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.positional_embedding
+        x = self.ln_pre(x)
+        for blk in self.blocks:
+            h = blk["ln_1"](x)
+            a, _ = blk["attn"](h, h, h, need_weights=False)
+            x = x + a
+            h = blk["ln_2"](x)
+            h = blk["c_fc"](h)
+            h = h * torch.sigmoid(1.702 * h)
+            x = x + blk["c_proj"](h)
+        return self.ln_post(x[:, 0]) @ self.proj
+
+
+def test_vision_tower_matches_torch():
+    """Full image-tower golden vs a torch CLIP ViT: patchify-as-matmul,
+    token assembly, blocks, CLS pooling and projection must agree."""
+    from federated_multi_modal_tpu.models.params import (
+        convert_torch_state_dict,
+        infer_config_from_state_dict,
+    )
+
+    torch.manual_seed(1)
+    width, layers, heads, patch, res, embed = 128, 2, 2, 8, 32, 64
+    vit = _TorchViT(width, layers, heads, patch, res, embed).eval()
+
+    sd = {
+        "visual.conv1.weight": vit.conv1.weight,
+        "visual.class_embedding": vit.class_embedding,
+        "visual.positional_embedding": vit.positional_embedding,
+        "visual.ln_pre.weight": vit.ln_pre.weight,
+        "visual.ln_pre.bias": vit.ln_pre.bias,
+        "visual.ln_post.weight": vit.ln_post.weight,
+        "visual.ln_post.bias": vit.ln_post.bias,
+        "visual.proj": vit.proj,
+    }
+    for i, blk in enumerate(vit.blocks):
+        pre = f"visual.transformer.resblocks.{i}"
+        sd[f"{pre}.attn.in_proj_weight"] = blk["attn"].in_proj_weight
+        sd[f"{pre}.attn.in_proj_bias"] = blk["attn"].in_proj_bias
+        sd[f"{pre}.attn.out_proj.weight"] = blk["attn"].out_proj.weight
+        sd[f"{pre}.attn.out_proj.bias"] = blk["attn"].out_proj.bias
+        sd[f"{pre}.ln_1.weight"] = blk["ln_1"].weight
+        sd[f"{pre}.ln_1.bias"] = blk["ln_1"].bias
+        sd[f"{pre}.ln_2.weight"] = blk["ln_2"].weight
+        sd[f"{pre}.ln_2.bias"] = blk["ln_2"].bias
+        sd[f"{pre}.mlp.c_fc.weight"] = blk["c_fc"].weight
+        sd[f"{pre}.mlp.c_fc.bias"] = blk["c_fc"].bias
+        sd[f"{pre}.mlp.c_proj.weight"] = blk["c_proj"].weight
+        sd[f"{pre}.mlp.c_proj.bias"] = blk["c_proj"].bias
+    # text keys for shape inference only
+    tw = 128
+    sd["text_projection"] = torch.randn(tw, embed)
+    sd["positional_embedding"] = torch.randn(16, tw)
+    sd["token_embedding.weight"] = torch.randn(50, tw)
+    sd["ln_final.weight"] = torch.ones(tw)
+    sd["ln_final.bias"] = torch.zeros(tw)
+    sd["logit_scale"] = torch.tensor(1.0)
+    sd = {k: v.detach() for k, v in sd.items()}
+
+    cfg = infer_config_from_state_dict(sd)
+    assert cfg.vision_patch_size == patch and cfg.image_resolution == res
+    params = convert_torch_state_dict(sd, cfg, dtype_policy=False)
+
+    rng = np.random.default_rng(5)
+    imgs = rng.standard_normal((3, res, res, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = vit(torch.from_numpy(imgs).permute(0, 3, 1, 2).float()).numpy()
+    got = np.asarray(
+        encode_image(params["visual"], cfg, jnp.asarray(imgs))
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
