@@ -75,6 +75,9 @@ def get_cfg_default() -> CN:
     # cache decoded uint8 canvases in RAM (device pipeline): augmentation
     # runs on device, so epoch 2+ needs no host JPEG decoding
     cfg.DATALOADER.CANVAS_CACHE = True
+    # host-RAM budget for the canvas cache; past it, samples decode per
+    # epoch (ImageNet-scale splits don't fit in RAM)
+    cfg.DATALOADER.CANVAS_CACHE_BUDGET_GB = 4.0
     cfg.DATALOADER.TRAIN_X = CN()
     cfg.DATALOADER.TRAIN_X.SAMPLER = "RandomSampler"
     cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 32

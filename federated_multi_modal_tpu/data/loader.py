@@ -35,6 +35,7 @@ class DataLoader:
         seed: int = 0,
         prefetch_depth: int = 2,
         cache_decoded: bool = True,
+        cache_budget_bytes: int = 4 << 30,
     ):
         self.data_source = list(data_source)
         self.batch_size = batch_size
@@ -50,10 +51,15 @@ class DataLoader:
         # lossless — from epoch 2 the host does zero JPEG decoding.  This
         # is the TPU-side answer to the reference's 8 dataloader workers;
         # few-shot canvases are small (16-shot x 100 classes ~ 300 MB).
+        # ``cache_budget_bytes`` caps host RAM: once reached, further
+        # samples stay uncached (ImageNet-scale full splits decode per
+        # epoch like the reference's workers do).
         self.cache_decoded = (
             cache_decoded and getattr(transform, "mode", "host") == "device"
         )
         self._canvas_cache: dict = {}
+        self._cache_budget = cache_budget_bytes
+        self._cache_bytes = 0
 
     def __len__(self):
         n = len(self.data_source)
@@ -90,7 +96,9 @@ class DataLoader:
                     frame = self._canvas_cache.get(i)
                     if frame is None:
                         frame = self.transform(it.impath)
-                        self._canvas_cache[i] = frame
+                        if self._cache_bytes + frame.nbytes <= self._cache_budget:
+                            self._canvas_cache[i] = frame
+                            self._cache_bytes += frame.nbytes
                     frames.append(frame)
                 canvas = np.stack(frames)
             else:

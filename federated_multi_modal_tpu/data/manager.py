@@ -44,6 +44,9 @@ def build_data_loader(
         seed=max(cfg.SEED, 0),
         prefetch_depth=getattr(cfg.TPU, "PREFETCH_DEPTH", 2),
         cache_decoded=getattr(cfg.DATALOADER, "CANVAS_CACHE", True),
+        cache_budget_bytes=int(
+            getattr(cfg.DATALOADER, "CANVAS_CACHE_BUDGET_GB", 4.0) * (1 << 30)
+        ),
     )
 
 

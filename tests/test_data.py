@@ -152,3 +152,40 @@ def test_canvas_cache_is_lossless(synth_cfg):
     second = [b["canvas"] for b in dl]
     for a, b in zip(first, second):
         np.testing.assert_array_equal(a, b)
+
+
+def test_canvas_cache_budget(tmp_path):
+    """The decoded-canvas cache stops inserting at the RAM budget; batches
+    stay correct either way."""
+    import numpy as np
+
+    from federated_multi_modal_tpu.data.datum import Datum
+    from federated_multi_modal_tpu.data.loader import DataLoader
+
+    class FakeDeviceTransform:
+        mode = "device"
+        calls = 0
+
+        def __call__(self, impath):
+            FakeDeviceTransform.calls += 1
+            return np.zeros((8, 8, 3), np.uint8)  # 192 bytes
+
+        def sample_params(self, rng, n):
+            return np.zeros((n, 4), np.float32), np.zeros(n, bool)
+
+    items = [Datum(impath=f"img{i}", label=0, classname="a") for i in range(8)]
+    # budget fits exactly 2 frames
+    loader = DataLoader(
+        items, batch_size=4, transform=FakeDeviceTransform(), is_train=True,
+        sampler_type="SequentialSampler", prefetch_depth=0,
+        cache_budget_bytes=2 * 192,
+    )
+    for _ in loader:
+        pass
+    assert len(loader._canvas_cache) == 2
+    first_epoch_calls = FakeDeviceTransform.calls
+    assert first_epoch_calls == 8
+    for _ in loader:
+        pass
+    # epoch 2: only the 6 uncached frames re-decode
+    assert FakeDeviceTransform.calls == first_epoch_calls + 6
