@@ -80,6 +80,27 @@ class DataLoader:
             batches.append(chunk)
         return batches
 
+    def _decode_many(self, paths):
+        """Decode a list of image paths to uint8 canvases.
+
+        Uses the native C++ batch decoder (one threaded call per batch,
+        ``native/imagecodec.cc``) when the transform has it enabled;
+        individual failures and non-native transforms fall back to the
+        per-file python path (PIL).
+        """
+        tfm = self.transform
+        if getattr(tfm, "native", False):
+            from federated_multi_modal_tpu import native as _native
+
+            out = _native.decode_batch(paths, tfm.canvas, tfm.interp_name)
+            if out is not None:
+                canvases, statuses = out
+                return [
+                    canvases[k] if statuses[k] == 0 else tfm.decode_pil(p)
+                    for k, p in enumerate(paths)
+                ]
+        return [tfm(p) for p in paths]
+
     def _make_batch(self, chunk):
         items = [self.data_source[i] for i in chunk]
         batch = {
@@ -91,18 +112,23 @@ class DataLoader:
         mode = getattr(self.transform, "mode", "host")
         if mode == "device":
             if self.cache_decoded:
-                frames = []
-                for i, it in zip(chunk, items):
-                    frame = self._canvas_cache.get(i)
-                    if frame is None:
-                        frame = self.transform(it.impath)
+                frames = [self._canvas_cache.get(i) for i in chunk]
+                misses = [k for k, f in enumerate(frames) if f is None]
+                if misses:
+                    decoded = self._decode_many(
+                        [items[k].impath for k in misses]
+                    )
+                    for k, frame in zip(misses, decoded):
+                        frames[k] = frame
+                        i = chunk[k]
                         if self._cache_bytes + frame.nbytes <= self._cache_budget:
                             self._canvas_cache[i] = frame
                             self._cache_bytes += frame.nbytes
-                    frames.append(frame)
                 canvas = np.stack(frames)
             else:
-                canvas = np.stack([self.transform(it.impath) for it in items])
+                canvas = np.stack(
+                    self._decode_many([it.impath for it in items])
+                )
             boxes, flips = self.transform.sample_params(self.rng, len(items))
             batch.update(canvas=canvas, box=boxes, flip=flips)
         else:

@@ -48,7 +48,14 @@ def _open_rgb(impath: str):
 
 
 class DeviceTransform:
-    """Host half of the device pipeline: decode -> square canvas uint8."""
+    """Host half of the device pipeline: decode -> square canvas uint8.
+
+    Decodes through the native C++ codec (libjpeg DCT-prescale + libpng +
+    PIL-equivalent resampling, ``native/imagecodec.cc``) when available,
+    falling back to PIL per file — the TPU-native replacement for the
+    reference's 8 PIL dataloader worker processes
+    (``trainers/client_datamanager.py:65-103``).
+    """
 
     mode = "device"
 
@@ -56,13 +63,32 @@ class DeviceTransform:
         self.is_train = is_train
         self.canvas = getattr(cfg.INPUT, "CANVAS_SIZE", DEFAULT_CANVAS)
         self.out_size = cfg.INPUT.SIZE[0]
+        self.interp_name = cfg.INPUT.INTERPOLATION
         self.interp = _INTERP.get(cfg.INPUT.INTERPOLATION, Image.BICUBIC)
         self.scale = getattr(cfg.INPUT, "RRCROP_SCALE", (0.08, 1.0))
+        self.native = bool(getattr(cfg.INPUT, "NATIVE_DECODE", True))
+        if self.native:
+            from federated_multi_modal_tpu import native as _native
 
-    def __call__(self, impath: str) -> np.ndarray:
+            self.native = (
+                _native.available() and self.interp_name in _native.INTERP
+            )
+
+    def decode_pil(self, impath: str) -> np.ndarray:
         img = _open_rgb(impath)
         img = img.resize((self.canvas, self.canvas), self.interp)
         return np.asarray(img, dtype=np.uint8)
+
+    def __call__(self, impath: str) -> np.ndarray:
+        if self.native:
+            from federated_multi_modal_tpu import native as _native
+
+            frame = _native.decode_to_canvas(
+                impath, self.canvas, self.interp_name
+            )
+            if frame is not None:
+                return frame
+        return self.decode_pil(impath)
 
     def sample_params(self, rng: np.random.Generator, n: int):
         if self.is_train:
