@@ -7,6 +7,18 @@ caption branch, CE + alignment loss, backward, SGD update with grad clip —
 i.e. everything the reference's ``forward_backward``
 (``trainers/maple.py:547-627``) does per batch.
 
+Dispatch modes:
+
+* ``scan`` (default): one jitted ``lax.scan`` runs all steps on device —
+  fresh random-resized-crop boxes/flips are sampled **on device** per step
+  (``ops/preprocess.py::sample_rrc_boxes_jax``), so the loop makes zero
+  host round-trips.  This measures what the chip can actually sustain; a
+  profiler trace shows the step itself runs ~107 ms at batch 512, while
+  per-step python dispatch through this container's HTTP tunnel adds
+  ~330 ms of device idle per step.
+* ``python``: per-step python dispatch with donated buffers — the
+  classic host-driven loop, tunnel-latency-bound in this container.
+
 Baseline (BASELINE.md): the reference trains MaPLe on ImageNet 16-shot
 (16,000 images) for 5 epochs in ~1 hour on one A100 => ~22.2 images/sec.
 ``vs_baseline`` is the multiple of that number.
@@ -32,8 +44,7 @@ def main():
     # EOT-truncation keeps its activations small enough)
     parser.add_argument("--batch-size", type=int, default=512)
     parser.add_argument("--n-cls", type=int, default=1000)
-    parser.add_argument("--steps", type=int, default=15)
-    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--no-captions", action="store_true")
     parser.add_argument("--depth", type=int, default=9)
     parser.add_argument("--remat", action="store_true",
@@ -42,11 +53,17 @@ def main():
                         default="pallas",
                         help="attention impl (pallas = packed-QKV fused "
                              "kernels on the unmasked vision path)")
+    parser.add_argument("--dispatch", choices=["scan", "python"],
+                        default="scan",
+                        help="scan = all steps in one on-device lax.scan; "
+                             "python = per-step host dispatch")
+    parser.add_argument("--warmup", type=int, default=5,
+                        help="warmup dispatches (python mode only; scan "
+                             "mode warms up with one full scan)")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from federated_multi_modal_tpu.flagship import build_maple_program
     from federated_multi_modal_tpu.config import get_cfg_default
@@ -54,6 +71,7 @@ def main():
     from federated_multi_modal_tpu.ops.preprocess import (
         crop_resize_flip_normalize,
         sample_rrc_boxes,
+        sample_rrc_boxes_jax,
     )
     from federated_multi_modal_tpu.tokenizer import tokenize
 
@@ -77,8 +95,8 @@ def main():
     opt_state = tx.init(prog["trainable"])
     loss_fn = prog["loss_fn"]
 
-    def train_step(trainable, frozen, opt_state, canvas, boxes, flips, labels,
-                   caption_tokens):
+    def one_step(trainable, frozen, opt_state, canvas, boxes, flips, labels,
+                 caption_tokens):
         images = crop_resize_flip_normalize(canvas, boxes, flips, out_size=224)
         batch = {"image": images, "label": labels}
         if use_captions:
@@ -95,37 +113,72 @@ def main():
         )
         return trainable, opt_state, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 2))
-
     rng = np.random.default_rng(0)
     B = args.batch_size
     canvas = jnp.asarray(rng.integers(0, 255, (B, 256, 256, 3), np.uint8))
-    boxes_np, flips_np = sample_rrc_boxes(rng, B)
-    boxes = jnp.asarray(boxes_np)
-    flips = jnp.asarray(flips_np)
     labels = jnp.asarray(rng.integers(0, args.n_cls, B), jnp.int32)
     captions = jnp.asarray(
         tokenize(["a satellite photo of a scene"] * B)
     )
-
-    trainable, opt_state_l = prog["trainable"], opt_state
     frozen = prog["frozen"]
-    # warmup / compile
-    for _ in range(args.warmup):
-        trainable, opt_state_l, loss = step(
-            trainable, frozen, opt_state_l, canvas, boxes, flips, labels,
-            captions,
-        )
-    jax.device_get(loss)  # tunnel backends: block_until_ready returns early
 
-    t0 = time.time()
-    for _ in range(args.steps):
-        trainable, opt_state_l, loss = step(
-            trainable, frozen, opt_state_l, canvas, boxes, flips, labels,
+    if args.dispatch == "scan":
+        # whole training loop on device: scan over steps, sampling fresh
+        # augmentation parameters from the carried PRNG key each step
+        # `frozen` must be an ARGUMENT (not a closure): baking it into the
+        # HLO as constants blows the remote-compile HTTP limit (CLAUDE.md)
+        def run(trainable, frozen, opt_state, key, canvas, labels,
+                caption_tokens):
+            def body(carry, _):
+                trainable, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                boxes, flips = sample_rrc_boxes_jax(sub, B)
+                trainable, opt_state, loss = one_step(
+                    trainable, frozen, opt_state, canvas, boxes, flips,
+                    labels, caption_tokens,
+                )
+                return (trainable, opt_state, key), loss
+
+            (trainable, opt_state, _), losses = jax.lax.scan(
+                body, (trainable, opt_state, key), length=args.steps
+            )
+            return trainable, opt_state, losses[-1]
+
+        runner = jax.jit(run, donate_argnums=(0, 2))
+        key = jax.random.PRNGKey(0)
+        # warmup: compile + one full execution
+        tr_w, os_w, loss = runner(
+            prog["trainable"], frozen, opt_state, key, canvas, labels,
             captions,
         )
-    loss_val = float(jax.device_get(loss))
-    dt = time.time() - t0
+        jax.device_get(loss)  # tunnel: block_until_ready returns early
+
+        t0 = time.time()
+        tr_w, os_w, loss = runner(tr_w, frozen, os_w, key, canvas, labels,
+                                  captions)
+        loss_val = float(jax.device_get(loss))
+        dt = time.time() - t0
+    else:
+        step = jax.jit(one_step, donate_argnums=(0, 2))
+        boxes_np, flips_np = sample_rrc_boxes(rng, B)
+        boxes = jnp.asarray(boxes_np)
+        flips = jnp.asarray(flips_np)
+        trainable, opt_state_l = prog["trainable"], opt_state
+        for _ in range(args.warmup):
+            trainable, opt_state_l, loss = step(
+                trainable, frozen, opt_state_l, canvas, boxes, flips, labels,
+                captions,
+            )
+        jax.device_get(loss)
+
+        t0 = time.time()
+        for _ in range(args.steps):
+            trainable, opt_state_l, loss = step(
+                trainable, frozen, opt_state_l, canvas, boxes, flips, labels,
+                captions,
+            )
+        loss_val = float(jax.device_get(loss))
+        dt = time.time() - t0
 
     ips = args.steps * B / dt
     result = {
@@ -137,7 +190,8 @@ def main():
     print(json.dumps(result))
     print(
         f"# batch={B} n_cls={args.n_cls} steps={args.steps} "
-        f"wall={dt:.2f}s loss={loss_val:.4f} device={jax.devices()[0]}",
+        f"dispatch={args.dispatch} wall={dt:.2f}s loss={loss_val:.4f} "
+        f"device={jax.devices()[0]}",
         file=sys.stderr,
     )
 

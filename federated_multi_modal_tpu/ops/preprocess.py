@@ -132,6 +132,63 @@ def sample_rrc_boxes(
     return boxes, flips.astype(bool)
 
 
+def sample_rrc_boxes_jax(
+    key: jax.Array,
+    n: int,
+    canvas_size: int = DEFAULT_CANVAS,
+    scale=(0.08, 1.0),
+    ratio=(3.0 / 4.0, 4.0 / 3.0),
+    trials: int = 10,
+):
+    """Device-side random-resized-crop sampling (same distribution as
+    :func:`sample_rrc_boxes`, torchvision's 10-trial procedure) — all
+    ``trials`` candidates are drawn at once and the first in-bounds one is
+    selected, so the whole sampler is a few fused elementwise ops inside
+    the jitted program.  This makes fully on-device multi-step training
+    loops possible (``lax.scan`` over steps with fresh augmentations and
+    zero host round-trips per step).
+
+    Returns ``(boxes (n,4) f32 [y0,x0,h,w], flips (n,) bool)``.
+    """
+    k_area, k_ratio, k_y, k_x, k_flip = jax.random.split(key, 5)
+    area = float(canvas_size * canvas_size)
+    log_ratio = (float(np.log(ratio[0])), float(np.log(ratio[1])))
+    target_area = area * jax.random.uniform(
+        k_area, (n, trials), minval=scale[0], maxval=scale[1]
+    )
+    aspect = jnp.exp(
+        jax.random.uniform(
+            k_ratio, (n, trials), minval=log_ratio[0], maxval=log_ratio[1]
+        )
+    )
+    w = jnp.round(jnp.sqrt(target_area * aspect))
+    h = jnp.round(jnp.sqrt(target_area / aspect))
+    valid = (w > 0) & (w <= canvas_size) & (h > 0) & (h <= canvas_size)
+    first = jnp.argmax(valid, axis=1)  # first accepted trial
+    any_valid = jnp.any(valid, axis=1)
+    rows = jnp.arange(n)
+    w_sel = w[rows, first]
+    h_sel = h[rows, first]
+    # uniform integer origin in [0, canvas - side], drawn once per sample
+    # (equivalent to the numpy sampler's integers() on the accepted trial)
+    u_y = jax.random.uniform(k_y, (n,))
+    u_x = jax.random.uniform(k_x, (n,))
+    y0 = jnp.floor(u_y * (canvas_size - h_sel + 1.0))
+    x0 = jnp.floor(u_x * (canvas_size - w_sel + 1.0))
+    full = jnp.asarray(canvas_size, jnp.float32)
+    boxes = jnp.stack(
+        [
+            jnp.where(any_valid, y0, 0.0),
+            jnp.where(any_valid, x0, 0.0),
+            jnp.where(any_valid, h_sel, full),
+            jnp.where(any_valid, w_sel, full),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    flips = jax.random.uniform(k_flip, (n,)) < 0.5
+    return boxes, flips
+
+
 def center_boxes(n: int, canvas_size: int = DEFAULT_CANVAS, out_size: int = 224):
     """Eval boxes: emulate Resize(shorter->out) + CenterCrop(out) on a square
     canvas — i.e. the full canvas center (the canvas was already resized

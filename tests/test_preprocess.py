@@ -82,6 +82,34 @@ def test_rrc_box_sampler_bounds():
     assert (ar > 0.70).all() and (ar < 1.43).all()
 
 
+def test_rrc_jax_sampler_bounds_and_distribution():
+    import jax
+
+    from federated_multi_modal_tpu.ops.preprocess import sample_rrc_boxes_jax
+
+    n = 4096
+    boxes, flips = jax.jit(sample_rrc_boxes_jax, static_argnums=1)(
+        jax.random.PRNGKey(3), n
+    )
+    boxes = np.asarray(boxes)
+    flips = np.asarray(flips)
+    y0, x0, h, w = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    assert (y0 >= 0).all() and (x0 >= 0).all()
+    assert (y0 + h <= 256).all() and (x0 + w <= 256).all()
+    assert (h > 0).all() and (w > 0).all()
+    assert flips.dtype == bool
+    assert 0.40 < flips.mean() < 0.60
+
+    # distribution parity with the host sampler (same torchvision procedure)
+    rng = np.random.default_rng(3)
+    ref_boxes, _ = sample_rrc_boxes(rng, n, canvas_size=256)
+    for col, tol in ((2, 6.0), (3, 6.0)):  # mean crop height / width
+        assert abs(boxes[:, col].mean() - ref_boxes[:, col].mean()) < tol
+    # area fraction covers the configured scale range
+    frac = (h * w) / (256.0 * 256.0)
+    assert frac.min() < 0.15 and frac.max() > 0.8
+
+
 def test_output_dtype_and_normalization():
     canvas = np.full((1, 64, 64, 3), 128, np.uint8)
     boxes, flips = center_boxes(1, canvas_size=64)
