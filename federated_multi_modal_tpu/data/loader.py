@@ -9,7 +9,11 @@ Replaces Dassl's torch ``DataLoader`` + ``DatasetWrapper`` stack (reference
 
 A daemon thread decodes the next batches while the device computes
 (double-buffering across the host->HBM boundary).  Samplers mirror Dassl's
-``RandomSampler`` / ``SequentialSampler``.
+full set: ``RandomSampler`` / ``SequentialSampler`` plus the structured
+``RandomDomainSampler`` / ``SeqDomainSampler`` (``n_domain`` domains x
+``batch_size // n_domain`` images per batch) and ``RandomClassSampler``
+(``batch_size // n_ins`` classes x ``n_ins`` instances — the re-ID
+identity sampler), selected by ``cfg.DATALOADER.*.SAMPLER``.
 """
 
 from __future__ import annotations
@@ -23,6 +27,77 @@ import numpy as np
 from federated_multi_modal_tpu.data.datum import Datum
 
 
+def _sample_random_domain(rng, data_source, batch_size, n_domain,
+                          sequential=False):
+    """Flat index order for Random/SeqDomainSampler: repeatedly pick
+    ``n_domain`` domains (random or fixed order) and draw
+    ``batch_size // n_domain`` images from each without replacement, until
+    some domain can no longer fill its share."""
+    by_domain: dict = {}
+    for i, item in enumerate(data_source):
+        by_domain.setdefault(item.domain, []).append(i)
+    domains = sorted(by_domain)
+    if not n_domain or n_domain <= 0:
+        n_domain = len(domains)
+    per_domain = batch_size // n_domain
+    if per_domain <= 0:
+        raise ValueError(
+            f"batch_size {batch_size} < n_domain {n_domain}"
+        )
+    pools = {d: list(by_domain[d]) for d in domains}
+    order: list = []
+    while all(len(pools[d]) >= per_domain for d in domains):
+        if sequential:
+            picked = domains[:n_domain]
+        else:
+            picked = list(rng.choice(domains, size=n_domain, replace=False))
+        for d in picked:
+            pool = pools[d]
+            take = rng.choice(len(pool), size=per_domain, replace=False)
+            take_set = set(int(t) for t in take)
+            order.extend(pool[t] for t in sorted(take_set))
+            pools[d] = [x for k, x in enumerate(pool) if k not in take_set]
+    return np.asarray(order, np.int64)
+
+
+def _sample_random_class(rng, data_source, batch_size, n_ins):
+    """Flat index order for RandomClassSampler (identity sampler): each
+    batch holds ``batch_size // n_ins`` random classes with ``n_ins``
+    instances each; classes with fewer than ``n_ins`` images are upsampled
+    with replacement."""
+    if batch_size < n_ins:
+        raise ValueError(f"batch_size {batch_size} < n_ins {n_ins}")
+    cls_per_batch = batch_size // n_ins
+    by_label: dict = {}
+    for i, item in enumerate(data_source):
+        by_label.setdefault(item.label, []).append(i)
+    if len(by_label) < cls_per_batch:
+        raise ValueError(
+            f"need >= {cls_per_batch} classes, have {len(by_label)}"
+        )
+    groups: dict = {}
+    for label, idxs in by_label.items():
+        idxs = list(idxs)
+        if len(idxs) < n_ins:
+            extra = rng.choice(idxs, size=n_ins - len(idxs), replace=True)
+            idxs = idxs + [int(x) for x in extra]
+        perm = rng.permutation(len(idxs))
+        idxs = [idxs[p] for p in perm]
+        groups[label] = [
+            idxs[s : s + n_ins]
+            for s in range(0, len(idxs) - n_ins + 1, n_ins)
+        ]
+    avail = sorted(groups)
+    order: list = []
+    while len(avail) >= cls_per_batch:
+        picked = rng.choice(len(avail), size=cls_per_batch, replace=False)
+        for label in [avail[p] for p in sorted(int(x) for x in picked)]:
+            order.extend(groups[label].pop(0))
+            if not groups[label]:
+                avail.remove(label)
+    return np.asarray(order, np.int64)
+
+
 class DataLoader:
     def __init__(
         self,
@@ -31,6 +106,8 @@ class DataLoader:
         transform,
         is_train: bool = True,
         sampler_type: str = "RandomSampler",
+        n_domain: int = 0,
+        n_ins: int = 16,
         drop_last: Optional[bool] = None,
         seed: int = 0,
         prefetch_depth: int = 2,
@@ -42,6 +119,8 @@ class DataLoader:
         self.transform = transform
         self.is_train = is_train
         self.sampler_type = sampler_type
+        self.n_domain = n_domain
+        self.n_ins = n_ins
         self.drop_last = is_train if drop_last is None else drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch_depth = prefetch_depth
@@ -69,9 +148,22 @@ class DataLoader:
 
     def _index_batches(self):
         n = len(self.data_source)
-        idx = np.arange(n)
-        if self.sampler_type == "RandomSampler" and self.is_train:
-            self.rng.shuffle(idx)
+        st = self.sampler_type
+        if st in ("RandomDomainSampler", "SeqDomainSampler"):
+            idx = _sample_random_domain(
+                self.rng, self.data_source, self.batch_size, self.n_domain,
+                sequential=(st == "SeqDomainSampler"),
+            )
+            n = len(idx)
+        elif st == "RandomClassSampler":
+            idx = _sample_random_class(
+                self.rng, self.data_source, self.batch_size, self.n_ins
+            )
+            n = len(idx)
+        else:
+            idx = np.arange(n)
+            if st == "RandomSampler" and self.is_train:
+                self.rng.shuffle(idx)
         batches = []
         for s in range(0, n, self.batch_size):
             chunk = idx[s : s + self.batch_size]

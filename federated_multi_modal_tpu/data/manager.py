@@ -26,6 +26,8 @@ def build_data_loader(
     sampler_type: str = "SequentialSampler",
     data_source=None,
     batch_size: int = 64,
+    n_domain: int = 0,
+    n_ins: int = 16,
     tfm=None,
     is_train: bool = True,
     drop_last=None,
@@ -40,6 +42,8 @@ def build_data_loader(
         transform=tfm,
         is_train=is_train,
         sampler_type=sampler_type,
+        n_domain=n_domain,
+        n_ins=n_ins,
         drop_last=drop_last,
         seed=max(cfg.SEED, 0),
         prefetch_depth=getattr(cfg.TPU, "PREFETCH_DEPTH", 2),
@@ -63,6 +67,8 @@ class DataManager:
             sampler_type=cfg.DATALOADER.TRAIN_X.SAMPLER,
             data_source=self.dataset.train_x,
             batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+            n_domain=cfg.DATALOADER.TRAIN_X.N_DOMAIN,
+            n_ins=cfg.DATALOADER.TRAIN_X.N_INS,
             tfm=tfm_train,
             is_train=True,
         )
@@ -122,6 +128,8 @@ class ClientDataManager:
             sampler_type=cfg.DATALOADER.TRAIN_X.SAMPLER,
             data_source=train_x,
             batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+            n_domain=cfg.DATALOADER.TRAIN_X.N_DOMAIN,
+            n_ins=cfg.DATALOADER.TRAIN_X.N_INS,
             tfm=tfm_train,
             is_train=True,
         )

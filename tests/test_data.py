@@ -189,3 +189,94 @@ def test_canvas_cache_budget(tmp_path):
         pass
     # epoch 2: only the 6 uncached frames re-decode
     assert FakeDeviceTransform.calls == first_epoch_calls + 6
+
+
+def _fake_device_items_loader(items, batch_size, **kw):
+    from federated_multi_modal_tpu.data.loader import DataLoader
+
+    class FakeDeviceTransform:
+        mode = "device"
+
+        def __call__(self, impath):
+            return np.zeros((4, 4, 3), np.uint8)
+
+        def sample_params(self, rng, n):
+            return np.zeros((n, 4), np.float32), np.zeros(n, bool)
+
+    return DataLoader(items, batch_size=batch_size,
+                      transform=FakeDeviceTransform(), prefetch_depth=0, **kw)
+
+
+def test_random_domain_sampler_batch_structure():
+    from federated_multi_modal_tpu.data.datum import Datum
+
+    # 3 domains x 12 images
+    items = [
+        Datum(impath=f"d{d}i{i}", label=0, domain=d, classname="a")
+        for d in range(3) for i in range(12)
+    ]
+    loader = _fake_device_items_loader(
+        items, batch_size=6, is_train=True,
+        sampler_type="RandomDomainSampler", n_domain=3,
+    )
+    seen = []
+    for batch in loader:
+        assert len(batch["label"]) == 6
+        domains = [items[i].domain for i in batch["index"]]
+        # 2 images from each of the 3 domains per batch
+        assert sorted(domains) == [0, 0, 1, 1, 2, 2]
+        seen.extend(int(i) for i in batch["index"])
+    # without-replacement within the epoch
+    assert len(seen) == len(set(seen))
+    # all domains exhausted evenly: 36 images consumable
+    assert len(seen) == 36
+
+
+def test_seq_domain_sampler_deterministic_domains():
+    from federated_multi_modal_tpu.data.datum import Datum
+
+    items = [
+        Datum(impath=f"d{d}i{i}", label=0, domain=d, classname="a")
+        for d in range(2) for i in range(4)
+    ]
+    loader = _fake_device_items_loader(
+        items, batch_size=4, is_train=True,
+        sampler_type="SeqDomainSampler", n_domain=2,
+    )
+    for batch in loader:
+        domains = [items[i].domain for i in batch["index"]]
+        assert sorted(domains) == [0, 0, 1, 1]
+
+
+def test_random_class_sampler_identity_batches():
+    from federated_multi_modal_tpu.data.datum import Datum
+
+    # 5 classes with uneven sizes (class 4 has fewer than n_ins -> upsampled)
+    sizes = {0: 8, 1: 8, 2: 6, 3: 4, 4: 2}
+    items = [
+        Datum(impath=f"c{c}i{i}", label=c, domain=0, classname=str(c))
+        for c, n in sizes.items() for i in range(n)
+    ]
+    loader = _fake_device_items_loader(
+        items, batch_size=8, is_train=True,
+        sampler_type="RandomClassSampler", n_ins=4,
+    )
+    for batch in loader:
+        labels = list(batch["label"])
+        assert len(labels) == 8
+        # 2 classes x 4 instances
+        uniq, counts = np.unique(labels, return_counts=True)
+        assert len(uniq) == 2
+        assert all(c == 4 for c in counts)
+
+
+def test_structured_samplers_raise_on_bad_config():
+    from federated_multi_modal_tpu.data.datum import Datum
+
+    items = [Datum(impath=f"i{i}", label=i % 2, domain=0, classname="a")
+             for i in range(8)]
+    with pytest.raises(ValueError):
+        list(_fake_device_items_loader(
+            items, batch_size=2, is_train=True,
+            sampler_type="RandomClassSampler", n_ins=4,
+        ))
