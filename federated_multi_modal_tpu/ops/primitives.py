@@ -90,9 +90,13 @@ def multi_head_attention(
             # straight over the packed QKV tensor
             out = packed_attention(qkv, n_head)
             return linear(out, p["w_out"], p["b_out"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = fused_attention_diff(q, k, v, n_head, attn_mask)
-        return linear(out, p["w_out"], p["b_out"])
+        if T >= 32:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = fused_attention_diff(q, k, v, n_head, attn_mask)
+            return linear(out, p["w_out"], p["b_out"])
+        # tiny sequences (EOT-truncated text prompts, T ~ 8-16): per-(b,h)
+        # kernel launches cost more than the attention itself — XLA's fused
+        # batched formulation wins, so fall through
 
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
