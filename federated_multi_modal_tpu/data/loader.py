@@ -139,8 +139,25 @@ class DataLoader:
         self._canvas_cache: dict = {}
         self._cache_budget = cache_budget_bytes
         self._cache_bytes = 0
+        # the next epoch's batch plan (structured samplers realize a
+        # different number of batches than len(data)/batch_size, so len()
+        # and iteration must share one plan)
+        self._plan: Optional[list] = None
+        self._stop_worker: Optional[threading.Event] = None
+
+    def _structured(self) -> bool:
+        return self.sampler_type in (
+            "RandomDomainSampler", "SeqDomainSampler", "RandomClassSampler"
+        )
+
+    def _next_plan(self) -> list:
+        if self._plan is None:
+            self._plan = self._index_batches()
+        return self._plan
 
     def __len__(self):
+        if self._structured():
+            return len(self._next_plan())
         n = len(self.data_source)
         if self.drop_last:
             return n // self.batch_size
@@ -229,7 +246,18 @@ class DataLoader:
         return batch
 
     def __iter__(self):
-        batches = self._index_batches()
+        # stop any abandoned prefetch worker from a previous, partially
+        # consumed epoch BEFORE touching the rng/cache it shares with us
+        # (a consumer that bails mid-epoch — e.g. a NaN hard-raise — would
+        # otherwise leave the old thread racing this epoch's sampling)
+        if self._stop_worker is not None:
+            self._stop_worker.set()
+            self._stop_worker = None
+        if getattr(self, "_worker_thread", None) is not None:
+            self._worker_thread.join(timeout=30.0)
+            self._worker_thread = None
+        batches = self._next_plan()
+        self._plan = None  # next len()/iter() realizes a fresh plan
         self.epoch += 1
         if self.prefetch_depth <= 0:
             for chunk in batches:
@@ -239,22 +267,42 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_depth)
         sentinel = object()
         error_holder = []
+        stop = threading.Event()
+        self._stop_worker = stop
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for chunk in batches:
-                    q.put(self._make_batch(chunk))
+                    if stop.is_set():
+                        return
+                    if not put(self._make_batch(chunk)):
+                        return
             except Exception as e:  # surface loader errors on the consumer
                 error_holder.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
+        self._worker_thread = t
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error_holder:
-                    raise error_holder[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error_holder:
+                        raise error_holder[0]
+                    break
+                yield item
+        finally:
+            stop.set()
+            if self._stop_worker is stop:
+                self._stop_worker = None

@@ -40,11 +40,21 @@ if _HAS_PIL:
     }
 
 
-def _open_rgb(impath: str):
-    """Open an image, repeating until success to survive transient IO
-    (Dassl's ``read_image`` retries likewise)."""
-    img = Image.open(impath).convert("RGB")
-    return img
+def _open_rgb(impath: str, retries: int = 3, delay: float = 0.1):
+    """Open an image, retrying transient IO errors.  Dassl's ``read_image``
+    retries *forever*; this bounds it (documented deviation: an image that
+    never opens should fail the run, not hang it)."""
+    import time
+
+    last = None
+    for attempt in range(retries):
+        try:
+            return Image.open(impath).convert("RGB")
+        except OSError as e:
+            last = e
+            if attempt < retries - 1:
+                time.sleep(delay)
+    raise last
 
 
 class DeviceTransform:

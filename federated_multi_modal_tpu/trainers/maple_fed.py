@@ -368,13 +368,39 @@ class MaPLeFederated(TrainerX):
             opt.hyperparams["learning_rate"] = jnp.full((C,), sched(0))
             return stacked, opt
 
-        def stacked_batches(epoch_loaders):
+        def cycled(loader, n_steps):
+            """Yield exactly ``n_steps`` batches, restarting the loader
+            (fresh shuffle) when it runs dry — so the SPMD lockstep runs
+            every client for the LARGEST client's epoch length instead of
+            silently truncating to the smallest (the sequential path runs
+            each client's own full epoch)."""
+            done = 0
+            while done < n_steps:
+                for b in loader:
+                    yield b
+                    done += 1
+                    if done == n_steps:
+                        return
+
+        def stacked_batches(epoch_loaders_steps):
             """Zip per-client loaders into (C, B, ...) step batches."""
-            for steps in zip(*epoch_loaders):
+            for steps in zip(*epoch_loaders_steps):
                 parsed = [
                     trainer.parse_batch_train(b)
                     for trainer, b in zip(self.clients, steps)
                 ]
+                keys = set(parsed[0])
+                for ci, p in enumerate(parsed[1:], 1):
+                    if set(p) != keys:
+                        raise ValueError(
+                            "FED.PARALLEL_CLIENTS requires homogeneous "
+                            "batch structure across clients (client 0 has "
+                            f"{sorted(keys)}, client {ci} has "
+                            f"{sorted(p)} — e.g. caption availability "
+                            "differs). Use the sequential round loop "
+                            "(FED.PARALLEL_CLIENTS False) for "
+                            "heterogeneous clients."
+                        )
                 yield {
                     k: jax.device_put(
                         jnp.stack([p[k] for p in parsed]),
@@ -383,7 +409,19 @@ class MaPLeFederated(TrainerX):
                     for k in parsed[0]
                 }
 
-        for round_idx in range(self.num_rounds):
+        start_round = self._resume_round()
+        if start_round:
+            global_tree = self.global_weights
+        steps_per_epoch = max(len(t.train_loader_x) for t in self.clients)
+        lens = [len(t.train_loader_x) for t in self.clients]
+        if len(set(lens)) > 1:
+            print(
+                f"[FED] client epoch lengths differ {lens}; shorter "
+                f"clients cycle (reshuffled) to {steps_per_epoch} steps "
+                "so the SPMD lockstep covers every client's full epoch"
+            )
+
+        for round_idx in range(start_round, self.num_rounds):
             print(f"\n--- Federated Round {round_idx + 1}/{self.num_rounds} "
                   "(parallel) ---")
             if not self.check_weights_valid(global_tree):
@@ -396,7 +434,10 @@ class MaPLeFederated(TrainerX):
 
             losses = None
             for le in range(self.local_epochs):
-                loaders = [iter(t.train_loader_x) for t in self.clients]
+                loaders = [
+                    cycled(t.train_loader_x, steps_per_epoch)
+                    for t in self.clients
+                ]
                 for batch in stacked_batches(loaders):
                     stacked, opt, losses = step(stacked, frozen, opt, batch)
                 # per-epoch cosine step at the global epoch
@@ -427,16 +468,20 @@ class MaPLeFederated(TrainerX):
                     print("All clients failed! Reverting to previous global model.")
                     self.nan_stats["skipped_rounds"] += 1
 
-            # round-end test on client 0
+            # round-end test on client 0; checkpoint every round like the
+            # sequential path (elasticity: a failed-validity round still
+            # leaves the previous-good global on disk)
+            self.global_weights = copy_tree(global_tree)
             if self.check_weights_valid(global_tree):
-                self.global_weights = copy_tree(global_tree)
                 self.broadcast_weights(self.global_weights, round_idx, advance=True)
                 test_res = self.clients[0].test()
                 print(
                     f"[Round {round_idx + 1}] Test accuracy (client 0) = "
                     f"{test_res['accuracy']:.2f}%"
                 )
-                self._save_round(round_idx)
+            else:
+                print("Global weights invalid after aggregation, skipping test.")
+            self._save_round(round_idx)
 
         self.global_weights = copy_tree(global_tree)
         self.finalize_training()

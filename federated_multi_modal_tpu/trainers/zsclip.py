@@ -40,21 +40,24 @@ class ZeroshotCLIP(TrainerX):
         feats = encode_text_tokens(self.clip_params["text"], self.arch, tokens)
         self.text_features = l2_normalize(feats)
 
-        arch = self.arch
-        clip_params = self.clip_params
-        text_features = self.text_features
+        self._infer_fn = self._make_infer(self.arch)
 
+    @staticmethod
+    def _make_infer(arch):
+        # params/text features are jit ARGUMENTS, not closures: closing
+        # over the CLIP pytree bakes it into the HLO as constants and blows
+        # the remote-compile HTTP limit on tunnel backends (CLAUDE.md).
         @jax.jit
-        def _infer(images):
+        def _infer(clip_params, text_features, images):
             img = encode_image(clip_params["visual"], arch, images)
             img = l2_normalize(img)
             scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
             return scale * img @ text_features.T
 
-        self._infer_fn = _infer
+        return _infer
 
     def model_inference(self, images):
-        return self._infer_fn(images)
+        return self._infer_fn(self.clip_params, self.text_features, images)
 
     def train(self):
         # zero-shot: evaluation only
@@ -92,15 +95,4 @@ class ZeroshotCLIP2(ZeroshotCLIP):
         mean_feats = mean_feats / len(templates)
         self.text_features = l2_normalize(mean_feats)
 
-        arch = self.arch
-        clip_params = self.clip_params
-        text_features = self.text_features
-
-        @jax.jit
-        def _infer(images):
-            img = encode_image(clip_params["visual"], arch, images)
-            img = l2_normalize(img)
-            scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
-            return scale * img @ text_features.T
-
-        self._infer_fn = _infer
+        self._infer_fn = self._make_infer(self.arch)

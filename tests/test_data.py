@@ -280,3 +280,45 @@ def test_structured_samplers_raise_on_bad_config():
             items, batch_size=2, is_train=True,
             sampler_type="RandomClassSampler", n_ins=4,
         ))
+
+
+def test_structured_sampler_len_matches_realized_batches():
+    from federated_multi_modal_tpu.data.datum import Datum
+
+    sizes = {0: 8, 1: 8, 2: 6, 3: 4, 4: 2}
+    items = [
+        Datum(impath=f"c{c}i{i}", label=c, domain=0, classname=str(c))
+        for c, n in sizes.items() for i in range(n)
+    ]
+    loader = _fake_device_items_loader(
+        items, batch_size=8, is_train=True,
+        sampler_type="RandomClassSampler", n_ins=4,
+    )
+    for _ in range(3):  # len() must agree with the SAME epoch's plan
+        expected = len(loader)
+        realized = sum(1 for _ in loader)
+        assert realized == expected
+
+
+def test_abandoned_prefetch_iterator_is_safe():
+    from federated_multi_modal_tpu.data.datum import Datum
+    from federated_multi_modal_tpu.data.loader import DataLoader
+
+    class FakeDeviceTransform:
+        mode = "device"
+
+        def __call__(self, impath):
+            return np.zeros((4, 4, 3), np.uint8)
+
+        def sample_params(self, rng, n):
+            return np.zeros((n, 4), np.float32), np.zeros(n, bool)
+
+    items = [Datum(impath=f"i{i}", label=0, classname="a") for i in range(32)]
+    loader = DataLoader(items, batch_size=4, transform=FakeDeviceTransform(),
+                        is_train=True, prefetch_depth=2)
+    # abandon mid-epoch (NaN hard-raise scenario), then re-iterate fully
+    it = iter(loader)
+    next(it)
+    del it
+    for _ in range(2):
+        assert sum(1 for _ in loader) == 8
