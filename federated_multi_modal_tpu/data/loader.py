@@ -296,7 +296,18 @@ class DataLoader:
         t.start()
         try:
             while True:
-                item = q.get()
+                try:
+                    item = q.get(timeout=0.2)
+                except queue.Empty:
+                    # a newer iterator over this loader set our stop event
+                    # (concurrent live iterators are unsupported — newest
+                    # wins, this epoch ends early), or the worker died
+                    # without delivering its sentinel
+                    if stop.is_set() or not t.is_alive():
+                        if error_holder:
+                            raise error_holder[0]
+                        break
+                    continue
                 if item is sentinel:
                     if error_holder:
                         raise error_holder[0]

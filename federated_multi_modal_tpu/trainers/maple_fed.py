@@ -376,11 +376,20 @@ class MaPLeFederated(TrainerX):
             each client's own full epoch)."""
             done = 0
             while done < n_steps:
+                progressed = False
                 for b in loader:
+                    progressed = True
                     yield b
                     done += 1
                     if done == n_steps:
                         return
+                if not progressed:
+                    raise ValueError(
+                        "a client realizes zero train batches (shard "
+                        "smaller than DATALOADER.TRAIN_X.BATCH_SIZE with "
+                        "drop_last) — shrink the batch size or use the "
+                        "sequential round loop"
+                    )
 
         def stacked_batches(epoch_loaders_steps):
             """Zip per-client loaders into (C, B, ...) step batches."""

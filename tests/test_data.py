@@ -322,3 +322,27 @@ def test_abandoned_prefetch_iterator_is_safe():
     del it
     for _ in range(2):
         assert sum(1 for _ in loader) == 8
+
+
+def test_two_live_iterators_newest_wins_no_deadlock():
+    from federated_multi_modal_tpu.data.datum import Datum
+    from federated_multi_modal_tpu.data.loader import DataLoader
+
+    class FakeDeviceTransform:
+        mode = "device"
+
+        def __call__(self, impath):
+            return np.zeros((4, 4, 3), np.uint8)
+
+        def sample_params(self, rng, n):
+            return np.zeros((n, 4), np.float32), np.zeros(n, bool)
+
+    items = [Datum(impath=f"i{i}", label=0, classname="a") for i in range(32)]
+    loader = DataLoader(items, batch_size=4, transform=FakeDeviceTransform(),
+                        is_train=True, prefetch_depth=2)
+    it1 = iter(loader)
+    next(it1)
+    assert sum(1 for _ in loader) == 8  # second full iteration
+    # it1 must terminate (possibly early) rather than deadlock
+    rest = sum(1 for _ in it1)
+    assert rest <= 7
