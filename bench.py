@@ -60,9 +60,20 @@ def main():
     parser.add_argument("--warmup", type=int, default=5,
                         help="warmup dispatches (python mode only; scan "
                              "mode warms up with one full scan)")
+    parser.add_argument("--backbone", default="ViT-B/16",
+                        help="backbone catalog entry (Tiny for CI-scale "
+                             "smoke runs)")
+    parser.add_argument("--platform", choices=["default", "cpu"],
+                        default="default",
+                        help="cpu forces the host platform (e.g. with "
+                             "XLA_FLAGS=--xla_force_host_platform_device_"
+                             "count=8 to exercise the data-parallel path)")
     args = parser.parse_args()
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from federated_multi_modal_tpu.flagship import build_maple_program
@@ -82,7 +93,7 @@ def main():
     use_captions = not args.no_captions
     classnames = [f"class {i}" for i in range(args.n_cls)]
     prog = build_maple_program(
-        backbone="ViT-B/16",
+        backbone=args.backbone,
         classnames=classnames,
         depth=args.depth,
         use_captions=use_captions,
@@ -95,9 +106,13 @@ def main():
     opt_state = tx.init(prog["trainable"])
     loss_fn = prog["loss_fn"]
 
+    out_size = prog["arch"].image_resolution
+
     def one_step(trainable, frozen, opt_state, canvas, boxes, flips, labels,
                  caption_tokens):
-        images = crop_resize_flip_normalize(canvas, boxes, flips, out_size=224)
+        images = crop_resize_flip_normalize(
+            canvas, boxes, flips, out_size=out_size
+        )
         batch = {"image": images, "label": labels}
         if use_captions:
             batch["caption_tokens"] = caption_tokens
@@ -121,6 +136,24 @@ def main():
         tokenize(["a satellite photo of a scene"] * B)
     )
     frozen = prog["frozen"]
+
+    # data parallelism over every visible chip: batch sharded along a 1-D
+    # "data" mesh, params replicated — GSPMD inserts the gradient
+    # all-reduce over ICI.  On one chip this is a no-op, so the same
+    # bench scales to whatever slice it lands on; the reported metric
+    # stays PER-CHIP.
+    n_dev = jax.device_count()
+    if n_dev > 1 and B % n_dev == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        canvas = jax.device_put(canvas, batch_sharding)
+        labels = jax.device_put(labels, batch_sharding)
+        captions = jax.device_put(captions, batch_sharding)
+        print(f"# data-parallel over {n_dev} devices", file=sys.stderr)
+    else:
+        n_dev = 1
 
     if args.dispatch == "scan":
         # whole training loop on device: scan over steps, sampling fresh
@@ -180,7 +213,7 @@ def main():
         loss_val = float(jax.device_get(loss))
         dt = time.time() - t0
 
-    ips = args.steps * B / dt
+    ips = args.steps * B / dt / n_dev
     result = {
         "metric": "maple_train_images_per_sec_per_chip",
         "value": round(ips, 2),
@@ -190,8 +223,8 @@ def main():
     print(json.dumps(result))
     print(
         f"# batch={B} n_cls={args.n_cls} steps={args.steps} "
-        f"dispatch={args.dispatch} wall={dt:.2f}s loss={loss_val:.4f} "
-        f"device={jax.devices()[0]}",
+        f"dispatch={args.dispatch} devices={n_dev} wall={dt:.2f}s "
+        f"loss={loss_val:.4f} device={jax.devices()[0]}",
         file=sys.stderr,
     )
 

@@ -90,3 +90,28 @@ def test_scan_train_loop_tiny():
     leaf0 = jax.tree_util.tree_leaves(prog["trainable"])[0]
     leaf1 = jax.tree_util.tree_leaves(tr)[0]
     assert leaf0.shape == leaf1.shape
+
+
+def test_bench_cli_data_parallel_smoke():
+    """The driver runs bench.py verbatim; exercise its CLI + data-parallel
+    path on an 8-device virtual CPU mesh at toy scale."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--platform", "cpu",
+         "--backbone", "Tiny", "--batch-size", "64", "--n-cls", "10",
+         "--steps", "2", "--depth", "3", "--attention", "xla"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert len(line) == 1  # exactly one JSON line
+    rec = json.loads(line[0])
+    assert rec["unit"] == "images/sec/chip" and rec["value"] > 0
+    assert "data-parallel over 8 devices" in out.stderr
