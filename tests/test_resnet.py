@@ -163,3 +163,105 @@ def test_scaled_resnet_catalog_configs():
         assert pe.shape[0] == (res // 32) ** 2 + 1
         # embedding table matches the transformer width
         assert params["text"]["token_embedding"].shape[1] == cfg.transformer_width
+
+
+class _TorchModifiedResNet(nn.Module):
+    """Inline torch rebuild of the reference ModifiedResNet + AttentionPool2d
+    (clip/model.py:56-150) with OpenAI state-dict naming, used as the golden
+    model for full-tower conversion parity."""
+
+    def __init__(self, layers, output_dim, width, input_resolution, heads):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width // 2, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width // 2)
+        self.conv2 = nn.Conv2d(width // 2, width // 2, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width // 2)
+        self.conv3 = nn.Conv2d(width // 2, width, 3, padding=1, bias=False)
+        self.bn3 = nn.BatchNorm2d(width)
+        self.avgpool = nn.AvgPool2d(2)
+        self.relu = nn.ReLU()
+
+        self._inplanes = width
+        self.layer1 = self._make_layer(width, layers[0])
+        self.layer2 = self._make_layer(width * 2, layers[1], stride=2)
+        self.layer3 = self._make_layer(width * 4, layers[2], stride=2)
+        self.layer4 = self._make_layer(width * 8, layers[3], stride=2)
+
+        spacial = input_resolution // 32
+        embed_dim = width * 32
+        self.heads = heads
+        self.positional_embedding = nn.Parameter(
+            torch.randn(spacial ** 2 + 1, embed_dim) / embed_dim ** 0.5
+        )
+        self.q_proj = nn.Linear(embed_dim, embed_dim)
+        self.k_proj = nn.Linear(embed_dim, embed_dim)
+        self.v_proj = nn.Linear(embed_dim, embed_dim)
+        self.c_proj = nn.Linear(embed_dim, output_dim)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        mods = [_TorchBottleneck(self._inplanes, planes, stride)]
+        self._inplanes = planes * 4
+        for _ in range(1, blocks):
+            mods.append(_TorchBottleneck(self._inplanes, planes))
+        return nn.Sequential(*mods)
+
+    def forward(self, x):
+        x = self.relu(self.bn1(self.conv1(x)))
+        x = self.relu(self.bn2(self.conv2(x)))
+        x = self.relu(self.bn3(self.conv3(x)))
+        x = self.avgpool(x)
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        # AttentionPool2d (clip/model.py:56-75)
+        x = x.flatten(start_dim=2).permute(2, 0, 1)  # (HW, B, C)
+        x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+        x = x + self.positional_embedding[:, None, :]
+        out, _ = nn.functional.multi_head_attention_forward(
+            query=x[:1], key=x, value=x,
+            embed_dim_to_check=x.shape[-1], num_heads=self.heads,
+            q_proj_weight=self.q_proj.weight,
+            k_proj_weight=self.k_proj.weight,
+            v_proj_weight=self.v_proj.weight,
+            in_proj_weight=None,
+            in_proj_bias=torch.cat(
+                [self.q_proj.bias, self.k_proj.bias, self.v_proj.bias]
+            ),
+            bias_k=None, bias_v=None, add_zero_attn=False, dropout_p=0,
+            out_proj_weight=self.c_proj.weight,
+            out_proj_bias=self.c_proj.bias,
+            use_separate_proj_weight=True,
+            training=False, need_weights=False,
+        )
+        return out.squeeze(0)
+
+
+def test_full_resnet_tower_matches_torch():
+    """Full ModifiedResNet golden: torch reference-semantics model ->
+    OpenAI-naming state dict -> convert_torch_resnet -> identical features
+    (reference clip/model.py:56-150)."""
+    torch.manual_seed(0)
+    layers, width, res, out_dim, heads = (1, 1, 1, 1), 16, 64, 32, 2
+    tm = _TorchModifiedResNet(layers, out_dim, width, res, heads).eval()
+
+    # export with OpenAI CLIP naming: visual.* with downsample.0/.1 conv/bn
+    # (the avgpool holds slot -1 in OpenAI's OrderedDict)
+    sd = {}
+    for name, t in tm.state_dict().items():
+        name = name.replace("downsample.1.", "downsample.TMP.")
+        name = name.replace("downsample.2.", "downsample.1.")
+        name = name.replace("downsample.TMP.", "downsample.0.")
+        name = name.replace("positional_embedding", "attnpool.positional_embedding")
+        for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            name = name.replace(f"{p}.", f"attnpool.{p}.")
+        sd[f"visual.{name}"] = t
+    # our _TorchBottleneck's downsample is Sequential(avgpool, conv, bn) ->
+    # torch names .0 avgpool (no params), .1 conv, .2 bn; remapped above.
+
+    cfg = ResNetConfig(layers=layers, output_dim=out_dim, width=width,
+                       input_resolution=res)
+    params = convert_torch_resnet(sd, cfg)
+
+    x = np.random.default_rng(1).standard_normal((2, res, res, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(encode_image_resnet(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-4)
