@@ -369,10 +369,18 @@ class TrainerBase:
         epoch = self.epoch if epoch is None else epoch
         for name in self.get_model_names():
             state = self._models[name]["get"]()
+            optimizer = state.get("optimizer")
+            if optimizer is None and getattr(self, "opt_state", None) is not None:
+                # Dassl checkpoints carry optimizer state (momentum) so a
+                # resumed run continues exactly; serialize the optax tree
+                # as host numpy leaves
+                optimizer = jax.tree_util.tree_map(
+                    lambda x: np.asarray(jax.device_get(x)), self.opt_state
+                )
             payload = {
                 "epoch": epoch + 1,
                 "state_dict": state["state_dict"],
-                "optimizer": state.get("optimizer"),
+                "optimizer": optimizer,
                 "scheduler": state.get("scheduler"),
                 "val_result": val_result,
                 "cfg": self.cfg.dump(),
@@ -411,7 +419,26 @@ class TrainerBase:
             checkpoint = load_checkpoint(fpath)
             self._models[name]["set"](checkpoint["state_dict"])
             start = checkpoint.get("epoch", 0)
+            restored_opt = False
+            saved_opt = checkpoint.get("optimizer")
+            if saved_opt is not None and getattr(self, "opt_state", None) is not None:
+                try:
+                    structure = jax.tree_util.tree_structure(self.opt_state)
+                    leaves = jax.tree_util.tree_leaves(saved_opt)
+                    if structure.num_leaves == len(leaves):
+                        self.opt_state = jax.tree_util.tree_unflatten(
+                            structure, [jnp.asarray(x) for x in leaves]
+                        )
+                        restored_opt = True
+                except Exception as e:
+                    print(f"Could not restore optimizer state: {e}")
             print(f"Resumed {name} from {fpath} (epoch {start})")
+            if not restored_opt and start > 0 and hasattr(self, "set_epoch_lr"):
+                # no saved optimizer (e.g. aggregator checkpoints): momentum
+                # restarts at zero, but the LR must jump to the resumed
+                # epoch's schedule value — otherwise the first resumed
+                # epoch silently trains at the epoch-0 LR
+                self.set_epoch_lr(start)
         return start
 
 
@@ -562,12 +589,6 @@ class FunctionalTrainerMixin:
         path = self.cfg.MODEL.INIT_WEIGHTS
         if not path:
             return
-        from federated_multi_modal_tpu.engine.checkpoint import (
-            drop_class_conditioned,
-            load_checkpoint,
-            unflatten_into,
-        )
-
         ckpt = load_checkpoint(path)
         flat = drop_class_conditioned(ckpt.get("state_dict", ckpt))
         self.trainable, used = unflatten_into(self.trainable, flat)
@@ -644,7 +665,9 @@ class FunctionalTrainerMixin:
     def get_current_lr(self) -> float:
         try:
             return get_learning_rate(self.opt_state)
-        except Exception:
+        except (AttributeError, KeyError, TypeError):
+            # only before setup_optimization; a corrupted opt_state after
+            # setup should surface, not print lr 0.0 forever
             return 0.0
 
     def invalidate_eval_cache(self):

@@ -50,6 +50,11 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.arch, clip_params = load_clip_backbone(cfg.MODEL)
         arch = self.arch
+        if not arch.is_vit:
+            raise ValueError(
+                "IVLP requires a ViT backbone (vision prompt "
+                f"injection); got {cfg.MODEL.BACKBONE.NAME}"
+            )
         ctx_dim = arch.transformer_width
 
         n_ctx_text = tcfg.N_CTX_TEXT

@@ -33,6 +33,7 @@ The fork's distinguishing design, reproduced here:
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -46,6 +47,7 @@ from federated_multi_modal_tpu.engine.trainer import (
     FunctionalTrainerMixin,
     TrainerX,
     cast_tree,
+    count_params,
     merge_trees,
     split_tree,
 )
@@ -65,6 +67,24 @@ from federated_multi_modal_tpu.trainers.common import (
     linear_params,
     random_ctx_vectors,
 )
+
+
+@functools.lru_cache(maxsize=65536)
+def _tokenize_caption(caption: str) -> np.ndarray:
+    """Memoized BPE tokenization: the same dataset captions recur every
+    epoch, and re-running python BPE per batch serializes with device
+    dispatch on small hosts."""
+    return np.asarray(tokenize([caption], truncate=True)[0])
+
+
+def dataset_provides_captions(dm) -> bool:
+    """Whether any item in the manager's splits carries a caption.  Scans
+    the FULL split (cheap attribute truthiness) — sampling a prefix would
+    silently disable the branch for datasets whose captions start later."""
+    for split in (dm.dataset.train_x, dm.dataset.test):
+        if split and any(getattr(d, "caption", "") for d in split):
+            return True
+    return False
 
 
 def maple_trainable_predicate(visual_layers: int, text_layers: int):
@@ -163,10 +183,14 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
 
     def __init__(self, cfg, client_id: Optional[int] = None,
                  classnames: Optional[List[str]] = None, dm=None,
-                 shared_clip=None):
+                 shared_clip=None, use_captions_override: Optional[bool] = None):
         self.client_id = client_id
         self.classnames_override = classnames
         self._injected_dm = dm
+        # federated aggregator passes a unified decision so every client's
+        # trainable pytree has the same structure (FedAvg tree_maps across
+        # clients)
+        self._use_captions_override = use_captions_override
         # (arch, params) reuse across federated clients: the frozen CLIP is
         # identical for every client, so share one HBM copy instead of the
         # reference's N full model replicas (maple_fed.py:164-176)
@@ -206,6 +230,18 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
             self.arch, clip_params = load_clip_backbone(cfg.MODEL)
         arch = self.arch
 
+        if not arch.is_vit:
+            raise ValueError(
+                "MaPLe requires a ViT backbone (multi-modal prompt "
+                f"injection into transformer blocks); got "
+                f"{cfg.MODEL.BACKBONE.NAME}"
+            )
+        if tcfg.PREC == "fp32":
+            # full-precision frozen weights (the bf16+fp32-LN policy is the
+            # TPU analog of the reference's fp16/amp modes)
+            clip_params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), clip_params
+            )
         n_ctx = tcfg.N_CTX
         depth = tcfg.PROMPT_DEPTH
         assert depth >= 1, "For MaPLe, PROMPT_DEPTH should be >= 1"
@@ -216,13 +252,15 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
         # caption conditioning only when the dataset actually provides
         # captions (the reference passes caption=None for caption-less
         # datasets and the branch is skipped, trainers/maple.py:307-315)
-        dataset_has_captions = any(
-            getattr(d, "caption", "")
-            for d in (self.dm.dataset.train_x or self.dm.dataset.test)[:64]
-        )
-        self.use_captions = bool(tcfg.USE_CAPTIONS) and dataset_has_captions
-        if tcfg.USE_CAPTIONS and not dataset_has_captions:
-            print(f"{self._tag}Dataset provides no captions; caption branch off")
+        if self._use_captions_override is not None:
+            self.use_captions = bool(tcfg.USE_CAPTIONS) and bool(
+                self._use_captions_override
+            )
+        else:
+            dataset_has_captions = dataset_provides_captions(self.dm)
+            self.use_captions = bool(tcfg.USE_CAPTIONS) and dataset_has_captions
+            if tcfg.USE_CAPTIONS and not dataset_has_captions:
+                print(f"{self._tag}Dataset provides no captions; caption branch off")
         self.align_lambda = float(tcfg.ALIGN_LAMBDA)
         remat = bool(cfg.TPU.REMAT)
 
@@ -368,12 +406,7 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
         self.setup_optimization()
         self.load_init_weights()
 
-        n_train = sum(
-            int(np.prod(x.shape))
-            for x in jax.tree_util.tree_leaves(self.trainable)
-            if x is not None
-        )
-        print(f"{self._tag}Trainable params: {n_train:,}")
+        print(f"{self._tag}Trainable params: {count_params(self.trainable):,}")
 
         name = (
             f"MultiModalPromptLearner_{self.client_id}"
@@ -407,7 +440,9 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
             captions = [c or "" for c in batch.get("caption", [])]
             if len(captions) != images.shape[0]:
                 captions = [""] * images.shape[0]
-            step["caption_tokens"] = jnp.asarray(tokenize(captions, truncate=True))
+            step["caption_tokens"] = jnp.asarray(
+                np.stack([_tokenize_caption(c) for c in captions])
+            )
         return step
 
     def forward_backward(self, batch):
@@ -422,18 +457,33 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
         return summary
 
     def _drain_checked(self, total_loss, steps):
-        """Materialize deferred summaries; reproduce forward_backward's
-        NaN hard-raise and grad-norm history at the drain point."""
+        """Materialize deferred summaries (NaN hard-raise + grad-norm
+        history happen inside ``drain_summaries``)."""
         for s in self.drain_summaries():
-            if not np.isfinite(s["loss"]):
-                raise RuntimeError("NaN/Inf in total loss")
-            self.grad_norms.append(s.get("grad_norm", 0.0))
             total_loss += s["loss"]
             steps += 1
         return total_loss, steps
 
+    def drain_summaries(self):
+        """Reproduce forward_backward's NaN hard-raise (reference
+        ``trainers/maple.py:375-376``) and grad-norm history at the drain
+        point — shared by the aggregator loop AND the base epoch runner."""
+        drained = super().drain_summaries()
+        for s in drained:
+            if not np.isfinite(s["loss"]):
+                raise RuntimeError("NaN/Inf in total loss")
+            self.grad_norms.append(s.get("grad_norm", 0.0))
+        return drained
+
     # -- aggregator-driven local training (trainers/maple.py:629-653) ----------
     def run_epoch(self, epoch=None):
+        if epoch is None:
+            # standalone TrainerX path: use the base epoch runner (per-batch
+            # progress lines + TRAIN.PROFILE_DIR tracing), then step the LR
+            # once per epoch like the reference's Dassl loop
+            loss = TrainerX.run_epoch(self)
+            self.update_lr()
+            return loss
         self.set_model_mode("train")
         total_loss, steps = 0.0, 0
         self.num_batches = len(self.train_loader_x)
@@ -462,8 +512,3 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
         )
         return {"avg_loss": avg_loss}
 
-    def forward_backward_standalone(self, batch):
-        summary = self.forward_backward(batch)
-        if (self.batch_idx + 1) == self.num_batches:
-            self.update_lr()
-        return summary

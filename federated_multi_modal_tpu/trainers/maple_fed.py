@@ -177,6 +177,26 @@ class MaPLeFederated(TrainerX):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         shared_clip = load_clip_backbone(cfg.MODEL)
 
+        # one caption decision for ALL clients: FedAvg tree_maps across the
+        # clients' trainable pytrees, so the caption parameters must exist
+        # either everywhere or nowhere
+        from federated_multi_modal_tpu.trainers.maple import (
+            dataset_provides_captions,
+        )
+
+        caption_avail = [
+            dataset_provides_captions(dm) for dm in self.client_data_managers
+        ]
+        use_captions = all(caption_avail)
+        if cfg.TRAINER.MAPLE.USE_CAPTIONS and not use_captions and any(
+            caption_avail
+        ):
+            print(
+                f"[FED] caption availability differs across clients "
+                f"{caption_avail}; disabling the caption branch everywhere "
+                "(trainable structures must match for aggregation)"
+            )
+
         self.clients = []
         for i, dm in enumerate(self.client_data_managers):
             trainer = MaPLe(
@@ -185,6 +205,7 @@ class MaPLeFederated(TrainerX):
                 classnames=global_classnames,
                 dm=dm,
                 shared_clip=shared_clip,
+                use_captions_override=use_captions,
             )
             self.clients.append(trainer)
 

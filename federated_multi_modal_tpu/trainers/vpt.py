@@ -45,6 +45,11 @@ class VPT(FunctionalTrainerMixin, TrainerX):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.arch, clip_params = load_clip_backbone(cfg.MODEL)
         arch = self.arch
+        if not arch.is_vit:
+            raise ValueError(
+                "VPT requires a ViT backbone (vision prompt "
+                f"injection); got {cfg.MODEL.BACKBONE.NAME}"
+            )
 
         n_ctx = tcfg.N_CTX_VISION
         depth = tcfg.PROMPT_DEPTH_VISION

@@ -234,3 +234,33 @@ def test_nonfinite_batch_skips_update(data_root, tmp_path):
     assert not np.allclose(
         np.asarray(trainer.trainable["prompt_learner"]["ctx"]), ctx0
     )
+
+
+def test_single_site_resume_restores_momentum_and_lr(data_root, tmp_path):
+    """Resume contract (Dassl analog): checkpoints carry the optax state,
+    so a resumed run continues with the saved momentum and the resumed
+    epoch's schedule LR (not the epoch-0 LR)."""
+    import jax
+
+    cfg = make_cfg(data_root, "MaPLe", tmp_path / "run1",
+                   **{"OPTIM.MAX_EPOCH": 3, "TRAINER.MAPLE.PROMPT_DEPTH": 2})
+    trainer = build_trainer(cfg)
+    trainer.train()  # writes model.pth.tar-3 with optimizer payload
+
+    cfg2 = make_cfg(data_root, "MaPLe", tmp_path / "run1",
+                    **{"OPTIM.MAX_EPOCH": 3, "TRAINER.MAPLE.PROMPT_DEPTH": 2})
+    cfg2.RESUME = str(tmp_path / "run1")
+    trainer2 = build_trainer(cfg2)
+    trainer2.before_train()  # resume happens at train() entry
+    assert trainer2.start_epoch == 3
+    # LR jumped to the resumed epoch's schedule value, not sched(0)
+    assert trainer2.get_current_lr() == pytest.approx(
+        trainer2.sched_fn(3), rel=1e-6
+    )
+    # momentum buffers restored: some leaf must be nonzero after 3 epochs
+    leaves = [
+        np.asarray(x)
+        for x in jax.tree_util.tree_leaves(trainer2.opt_state)
+        if hasattr(x, "shape") and getattr(x, "size", 0) > 1
+    ]
+    assert any(np.abs(l).sum() > 0 for l in leaves)
