@@ -143,6 +143,10 @@ def get_cfg_default() -> CN:
     cfg.TRAIN.PRINT_FREQ = 10
     cfg.TRAIN.COUNT_ITER = "train_x"
     cfg.TRAIN.PROFILE_DIR = ""  # jax.profiler trace output (empty = off)
+    # "pickle" keeps the reference's model.pth.tar contract; "orbax" stores
+    # per-round federated aggregator checkpoints as async atomic
+    # tensorstore pytrees (preemptible TPU deployments)
+    cfg.TRAIN.CHECKPOINT_BACKEND = "pickle"
 
     # ------------------------------------------------------------------- test
     cfg.TEST = CN()

@@ -234,6 +234,31 @@ class MaPLeFederated(TrainerX):
             return 0
         import glob
 
+        if getattr(self.cfg.TRAIN, "CHECKPOINT_BACKEND", "pickle") == "orbax":
+            from federated_multi_modal_tpu.engine.checkpoint_orbax import (
+                ORBAX_AVAILABLE,
+                restore_pytree,
+            )
+
+            rounds = []
+            for path in glob.glob(osp.join(
+                self.cfg.RESUME, "MultiModalPromptLearner_Aggregator",
+                "round-*.orbax",
+            )):
+                try:
+                    rounds.append(
+                        (int(osp.basename(path)[len("round-"):-len(".orbax")]),
+                         path)
+                    )
+                except ValueError:
+                    continue
+            if rounds and ORBAX_AVAILABLE:
+                rnd, path = max(rounds)
+                self.global_weights = restore_pytree(path, self.global_weights)
+                print(f"[FED] resumed round {rnd} from {path} (orbax)")
+                return rnd
+            # fall through to the pickle marker scan
+
         pattern = osp.join(
             self.cfg.RESUME, "MultiModalPromptLearner_Aggregator",
             "model.pth.tar-round*",
@@ -266,6 +291,19 @@ class MaPLeFederated(TrainerX):
         target_dir = osp.join(
             self.cfg.OUTPUT_DIR, "MultiModalPromptLearner_Aggregator"
         )
+        if getattr(self.cfg.TRAIN, "CHECKPOINT_BACKEND", "pickle") == "orbax":
+            from federated_multi_modal_tpu.engine.checkpoint_orbax import (
+                ORBAX_AVAILABLE,
+                save_pytree,
+            )
+
+            if ORBAX_AVAILABLE:
+                save_pytree(
+                    osp.join(target_dir, f"round-{round_idx + 1}.orbax"),
+                    self.global_weights,
+                )
+                return
+            print("[FED] orbax-checkpoint unavailable; falling back to pickle")
         checkpoint = {
             "epoch": (round_idx + 1) * self.local_epochs,
             "state_dict": flatten_params(self.global_weights),

@@ -258,3 +258,51 @@ def test_multihost_helpers_single_host():
     assert is_main_process()
     assert process_count() == 1
     sync_hosts("test")  # no-op, must not raise
+
+
+def test_fed_round_checkpoint_orbax_backend(data_root, tmp_path):
+    """TRAIN.CHECKPOINT_BACKEND=orbax: per-round aggregator checkpoints go
+    through orbax pytree saves and resume restores the newest round."""
+    import os
+
+    pytest.importorskip("orbax.checkpoint")
+
+    def make(out, resume="", rounds=2):
+        cfg = get_cfg_default()
+        cfg.DATASET.ROOT = str(data_root)
+        cfg.DATASET.NAME = "Synthetic"
+        cfg.MODEL.BACKBONE.NAME = "Tiny"
+        cfg.INPUT.SIZE = (32, 32)
+        cfg.INPUT.CANVAS_SIZE = 40
+        cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+        cfg.DATALOADER.TEST.BATCH_SIZE = 8
+        cfg.OPTIM.MAX_EPOCH = rounds
+        cfg.OPTIM.LR = 0.01
+        cfg.TRAIN.PRINT_FREQ = 100
+        cfg.TRAIN.CHECKPOINT_BACKEND = "orbax"
+        cfg.TRAINER.NAME = "MaPLeFederated"
+        cfg.TRAINER.MAPLE.PROMPT_DEPTH = 3
+        cfg.OUTPUT_DIR = str(out)
+        cfg.RESUME = resume
+        cfg.SEED = 1
+        cfg.VERBOSE = False
+        cfg.FED.NUM_CLIENTS = 2
+        cfg.FED.NUM_ROUNDS = rounds
+        cfg.FED.LOCAL_EPOCHS = 1
+        cfg.FED.DATASETS = ("Synthetic", "Synthetic")
+        cfg.FED.CLASSNAME_ONLY_DATASETS = ()
+        cfg.FED.CHECKPOINT_EVERY_ROUND = True
+        return build_trainer(cfg)
+
+    out = tmp_path / "fedorbax"
+    fed = make(out)
+    fed.train()
+    agg = out / "MultiModalPromptLearner_Aggregator"
+    assert os.path.isdir(agg / "round-1.orbax")
+    assert os.path.isdir(agg / "round-2.orbax")
+
+    resumed = make(tmp_path / "fedorbax_resume", resume=str(out), rounds=3)
+    assert resumed._resume_round() == 2
+    w_ckpt = np.asarray(fed.global_weights["prompt_learner"]["ctx"])
+    w_res = np.asarray(resumed.global_weights["prompt_learner"]["ctx"])
+    np.testing.assert_allclose(w_res, w_ckpt, atol=1e-6)
