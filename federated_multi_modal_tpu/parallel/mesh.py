@@ -37,3 +37,32 @@ def make_client_mesh(
     per_client = n // num_clients
     arr = np.asarray(devices).reshape(num_clients, per_client)
     return Mesh(arr, axis_names)
+
+
+def make_mesh_from_cfg(cfg, num_clients: int) -> Mesh:
+    """Mesh for the federated SPMD loop, honoring an explicit
+    ``TPU.MESH_SHAPE``/``TPU.MESH_AXES`` override (e.g. ``(2, 4)`` with
+    ``("client", "data")`` pins clients to specific chip groups on a
+    multi-slice topology); empty shape = the automatic
+    ``(num_clients, rest)`` layout."""
+    shape = tuple(getattr(cfg.TPU, "MESH_SHAPE", ()) or ())
+    if not shape:
+        return make_client_mesh(num_clients)
+    axes = tuple(getattr(cfg.TPU, "MESH_AXES", ("client", "data")))
+    if len(shape) != len(axes):
+        raise ValueError(
+            f"TPU.MESH_SHAPE {shape} and TPU.MESH_AXES {axes} differ in rank"
+        )
+    devices = jax.devices()
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(
+            f"TPU.MESH_SHAPE {shape} needs {int(np.prod(shape))} devices, "
+            f"have {len(devices)}"
+        )
+    if "client" in axes and shape[axes.index("client")] != num_clients:
+        raise ValueError(
+            f"TPU.MESH_SHAPE client axis {shape[axes.index('client')]} != "
+            f"FED.NUM_CLIENTS {num_clients}"
+        )
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axes)

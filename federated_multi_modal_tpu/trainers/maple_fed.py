@@ -397,10 +397,10 @@ class MaPLeFederated(TrainerX):
             stack_client_trees,
             unstack_client_trees,
         )
-        from federated_multi_modal_tpu.parallel.mesh import make_client_mesh
+        from federated_multi_modal_tpu.parallel.mesh import make_mesh_from_cfg
 
         C = self.num_clients
-        mesh = make_client_mesh(C)
+        mesh = make_mesh_from_cfg(self.cfg, C)
         print(f"[FED] parallel clients over mesh {dict(mesh.shape)}")
         client0 = self.clients[0]
         tx = client0.tx

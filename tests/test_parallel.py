@@ -306,3 +306,26 @@ def test_fed_round_checkpoint_orbax_backend(data_root, tmp_path):
     w_ckpt = np.asarray(fed.global_weights["prompt_learner"]["ctx"])
     w_res = np.asarray(resumed.global_weights["prompt_learner"]["ctx"])
     np.testing.assert_allclose(w_res, w_ckpt, atol=1e-6)
+
+
+def test_mesh_shape_override():
+    """TPU.MESH_SHAPE/TPU.MESH_AXES pin the federated mesh layout."""
+    from federated_multi_modal_tpu.parallel.mesh import make_mesh_from_cfg
+
+    cfg = get_cfg_default()
+    cfg.TPU.MESH_SHAPE = (2, 4)
+    cfg.TPU.MESH_AXES = ("client", "data")
+    mesh = make_mesh_from_cfg(cfg, num_clients=2)
+    assert dict(mesh.shape) == {"client": 2, "data": 4}
+
+    cfg.TPU.MESH_SHAPE = (4, 2)
+    with pytest.raises(ValueError):  # client axis != num_clients
+        make_mesh_from_cfg(cfg, num_clients=2)
+
+    cfg.TPU.MESH_SHAPE = (3, 4)
+    with pytest.raises(ValueError):  # wrong device count
+        make_mesh_from_cfg(cfg, num_clients=3)
+
+    cfg.TPU.MESH_SHAPE = ()
+    mesh = make_mesh_from_cfg(cfg, num_clients=2)  # automatic layout
+    assert dict(mesh.shape)["client"] == 2
