@@ -179,7 +179,12 @@ class HostTransform:
 
 def build_transform(cfg, is_train: bool = True):
     """Factory matching Dassl's ``build_transform(cfg, is_train)`` surface
-    (called at reference ``trainers/client_datamanager.py:30-34``)."""
+    (called at reference ``trainers/client_datamanager.py:30-34``).
+    ``INPUT.NO_TRANSFORM`` disables augmentation (Dassl semantics): train
+    uses the deterministic eval transform (resize + center crop +
+    normalize)."""
+    if getattr(cfg.INPUT, "NO_TRANSFORM", False):
+        is_train = False
     pipeline = getattr(cfg.INPUT, "PIPELINE", "device")
     if pipeline == "host":
         return HostTransform(cfg, is_train)

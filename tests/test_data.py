@@ -346,3 +346,19 @@ def test_two_live_iterators_newest_wins_no_deadlock():
     # it1 must terminate (possibly early) rather than deadlock
     rest = sum(1 for _ in it1)
     assert rest <= 7
+
+
+def test_no_transform_disables_augmentation():
+    """INPUT.NO_TRANSFORM (Dassl semantics): the train transform becomes
+    the deterministic eval pipeline."""
+    from federated_multi_modal_tpu.data.transforms import build_transform
+
+    cfg = get_cfg_default()
+    cfg.INPUT.NO_TRANSFORM = True
+    tfm = build_transform(cfg, is_train=True)
+    rng = np.random.default_rng(0)
+    b1, f1 = tfm.sample_params(rng, 4)
+    b2, f2 = tfm.sample_params(rng, 4)
+    # deterministic center boxes, no flips
+    np.testing.assert_array_equal(b1, b2)
+    assert not f1.any() and not f2.any()
