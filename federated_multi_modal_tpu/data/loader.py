@@ -30,14 +30,15 @@ from federated_multi_modal_tpu.data.datum import Datum
 def _sample_random_domain(rng, data_source, batch_size, n_domain,
                           sequential=False):
     """Flat index order for Random/SeqDomainSampler: repeatedly pick
-    ``n_domain`` domains (random or fixed order) and draw
+    ``n_domain`` domains (random; SeqDomainSampler always cycles ALL
+    domains in order, like Dassl, ignoring ``n_domain``) and draw
     ``batch_size // n_domain`` images from each without replacement, until
-    some domain can no longer fill its share."""
+    a picked domain can no longer fill its share."""
     by_domain: dict = {}
     for i, item in enumerate(data_source):
         by_domain.setdefault(item.domain, []).append(i)
     domains = sorted(by_domain)
-    if not n_domain or n_domain <= 0:
+    if sequential or not n_domain or n_domain <= 0:
         n_domain = len(domains)
     per_domain = batch_size // n_domain
     if per_domain <= 0:
@@ -46,17 +47,25 @@ def _sample_random_domain(rng, data_source, batch_size, n_domain,
         )
     pools = {d: list(by_domain[d]) for d in domains}
     order: list = []
-    while all(len(pools[d]) >= per_domain for d in domains):
+    while True:
         if sequential:
-            picked = domains[:n_domain]
+            picked = domains
         else:
             picked = list(rng.choice(domains, size=n_domain, replace=False))
+        if any(len(pools[d]) < per_domain for d in picked):
+            break
         for d in picked:
             pool = pools[d]
             take = rng.choice(len(pool), size=per_domain, replace=False)
             take_set = set(int(t) for t in take)
             order.extend(pool[t] for t in sorted(take_set))
             pools[d] = [x for k, x in enumerate(pool) if k not in take_set]
+    if not order:
+        sizes = {d: len(by_domain[d]) for d in domains}
+        raise ValueError(
+            f"domain sampler cannot form a single batch: needs "
+            f"{per_domain} images per domain, domain sizes are {sizes}"
+        )
     return np.asarray(order, np.int64)
 
 
@@ -222,15 +231,25 @@ class DataLoader:
         if mode == "device":
             if self.cache_decoded:
                 frames = [self._canvas_cache.get(i) for i in chunk]
-                misses = [k for k, f in enumerate(frames) if f is None]
-                if misses:
+                # duplicate indices in a chunk (RandomClassSampler upsamples
+                # with replacement) decode once and count once
+                miss_idx = {}
+                for k, f in enumerate(frames):
+                    if f is None:
+                        miss_idx.setdefault(int(chunk[k]), []).append(k)
+                if miss_idx:
+                    uniq = list(miss_idx)
                     decoded = self._decode_many(
-                        [items[k].impath for k in misses]
+                        [self.data_source[i].impath for i in uniq]
                     )
-                    for k, frame in zip(misses, decoded):
-                        frames[k] = frame
-                        i = chunk[k]
-                        if self._cache_bytes + frame.nbytes <= self._cache_budget:
+                    for i, frame in zip(uniq, decoded):
+                        for k in miss_idx[i]:
+                            frames[k] = frame
+                        if (
+                            i not in self._canvas_cache
+                            and self._cache_bytes + frame.nbytes
+                            <= self._cache_budget
+                        ):
                             self._canvas_cache[i] = frame
                             self._cache_bytes += frame.nbytes
                 canvas = np.stack(frames)

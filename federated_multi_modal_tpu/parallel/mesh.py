@@ -53,6 +53,13 @@ def make_mesh_from_cfg(cfg, num_clients: int) -> Mesh:
         raise ValueError(
             f"TPU.MESH_SHAPE {shape} and TPU.MESH_AXES {axes} differ in rank"
         )
+    if "client" not in axes or "data" not in axes:
+        # the SPMD round loop hard-codes these axis names in its
+        # PartitionSpecs; fail here with a config message, not deep inside
+        # jax.sharding with an unbound-axis error
+        raise ValueError(
+            f'TPU.MESH_AXES {axes} must contain "client" and "data"'
+        )
     devices = jax.devices()
     if int(np.prod(shape)) != len(devices):
         raise ValueError(

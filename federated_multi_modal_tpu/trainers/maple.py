@@ -497,10 +497,6 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
             total_loss, steps = self._drain_checked(total_loss, steps)
         finally:
             self.end_deferred()
-        if epoch is None:
-            # standalone TrainerX path steps LR in forward_backward position
-            self.update_lr()
-            return total_loss / max(1, steps)
         # aggregator path: step LR to the *global* epoch + 1
         self.epoch = epoch
         self.update_lr()

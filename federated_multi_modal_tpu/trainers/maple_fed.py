@@ -143,6 +143,12 @@ class MaPLeFederated(TrainerX):
                 )
             return out
 
+        if self.num_clients > len(client_names):
+            raise ValueError(
+                f"FED.NUM_CLIENTS={self.num_clients} but only "
+                f"{len(client_names)} client dataset(s) in FED.DATASETS "
+                f"{tuple(client_names)}"
+            )
         self.client_data_managers = []
         for name in client_names[: self.num_clients]:
             ds = datasets[name]
@@ -252,12 +258,19 @@ class MaPLeFederated(TrainerX):
                     )
                 except ValueError:
                     continue
-            if rounds and ORBAX_AVAILABLE:
+            if rounds:
+                if not ORBAX_AVAILABLE:
+                    raise RuntimeError(
+                        f"found {len(rounds)} orbax round checkpoint(s) "
+                        f"under {self.cfg.RESUME} but orbax-checkpoint is "
+                        "not importable — refusing to silently restart "
+                        "from round 0"
+                    )
                 rnd, path = max(rounds)
                 self.global_weights = restore_pytree(path, self.global_weights)
                 print(f"[FED] resumed round {rnd} from {path} (orbax)")
                 return rnd
-            # fall through to the pickle marker scan
+            # no orbax rounds found: fall through to the pickle marker scan
 
         pattern = osp.join(
             self.cfg.RESUME, "MultiModalPromptLearner_Aggregator",
@@ -418,9 +431,10 @@ class MaPLeFederated(TrainerX):
         frozen = shard(client0.frozen, P())
         global_tree = self.global_weights
 
-        def broadcast(global_tree, epoch):
+        def broadcast(global_tree):
             # same scheduler-rebuild quirk as the sequential broadcast:
             # the first local epoch of each round runs at sched(0)
+            # regardless of the global epoch
             stacked = stack_client_trees([global_tree] * C)
             stacked = shard(stacked, P("client"))
             opt = stack_client_trees([tx.init(global_tree)] * C)
@@ -498,7 +512,7 @@ class MaPLeFederated(TrainerX):
                 continue
 
             epoch0 = round_idx * self.local_epochs
-            stacked, opt = broadcast(global_tree, epoch0)
+            stacked, opt = broadcast(global_tree)
 
             losses = None
             for le in range(self.local_epochs):

@@ -362,3 +362,66 @@ def test_no_transform_disables_augmentation():
     # deterministic center boxes, no flips
     np.testing.assert_array_equal(b1, b2)
     assert not f1.any() and not f2.any()
+
+
+def test_domain_sampler_undersized_domain_raises():
+    from federated_multi_modal_tpu.data.datum import Datum
+
+    items = [
+        Datum(impath=f"d{d}i{i}", label=0, domain=d, classname="a")
+        for d, n in [(0, 4), (1, 1)] for i in range(n)
+    ]
+    loader = _fake_device_items_loader(
+        items, batch_size=4, is_train=True,
+        sampler_type="RandomDomainSampler", n_domain=2,
+    )
+    with pytest.raises(ValueError, match="cannot form a single batch"):
+        len(loader)
+
+
+def test_seq_domain_sampler_uses_all_domains():
+    """Dassl's SeqDomainSampler ignores N_DOMAIN and cycles every domain."""
+    from federated_multi_modal_tpu.data.datum import Datum
+
+    items = [
+        Datum(impath=f"d{d}i{i}", label=0, domain=d, classname="a")
+        for d in range(4) for i in range(4)
+    ]
+    loader = _fake_device_items_loader(
+        items, batch_size=8, is_train=True,
+        sampler_type="SeqDomainSampler", n_domain=2,  # ignored
+    )
+    seen_domains = set()
+    for batch in loader:
+        seen_domains.update(items[i].domain for i in batch["index"])
+    assert seen_domains == {0, 1, 2, 3}
+
+
+def test_duplicate_chunk_indices_cache_once():
+    """RandomClassSampler upsampling can repeat an index inside one chunk;
+    it must decode once and count cache bytes once."""
+    from federated_multi_modal_tpu.data.datum import Datum
+    from federated_multi_modal_tpu.data.loader import DataLoader
+
+    calls = []
+
+    class FakeDeviceTransform:
+        mode = "device"
+
+        def __call__(self, impath):
+            calls.append(impath)
+            return np.zeros((4, 4, 3), np.uint8)  # 48 bytes
+
+        def sample_params(self, rng, n):
+            return np.zeros((n, 4), np.float32), np.zeros(n, bool)
+
+    # class 0 has 2 images but n_ins=4 -> upsampled duplicates in-chunk
+    items = [Datum(impath=f"c0i{i}", label=0, classname="a") for i in range(2)]
+    items += [Datum(impath=f"c1i{i}", label=1, classname="b") for i in range(4)]
+    loader = DataLoader(items, batch_size=8, transform=FakeDeviceTransform(),
+                        is_train=True, sampler_type="RandomClassSampler",
+                        n_ins=4, prefetch_depth=0)
+    for _ in loader:
+        pass
+    assert len(calls) == len(set(calls))  # no duplicate decodes
+    assert loader._cache_bytes == len(loader._canvas_cache) * 48
