@@ -47,14 +47,26 @@ def build_lr_schedule(cfg_optim):
             return base_lr
         raise ValueError(f"Unknown LR scheduler: {scheduler}")
 
+    warmup_recount = bool(getattr(cfg_optim, "WARMUP_RECOUNT", True))
+
     def lr(epoch: float) -> float:
+        """LR for training epoch ``epoch``, matching Dassl's warmup wrapper
+        exactly: the successor scheduler only starts stepping once warmup
+        ends, so post-warmup epoch ``e`` runs at successor counter
+        ``e - warmup`` (``WARMUP_RECOUNT``, the default) or ``e - 1``
+        (successor fast-forwarded through warmup)."""
         if warmup_epoch > 0 and epoch < warmup_epoch:
             if warmup_type == "constant":
                 return warmup_cons_lr
             if warmup_type == "linear":
-                frac = (epoch + 1) / warmup_epoch
-                return warmup_min_lr + (base_lr - warmup_min_lr) * frac
+                # Dassl LinearWarmupScheduler: epoch 0 at min_lr, then
+                # base_lr * e / warmup (min_lr is NOT interpolated)
+                if epoch == 0:
+                    return warmup_min_lr
+                return base_lr * epoch / warmup_epoch
             raise ValueError(f"Unknown warmup type: {warmup_type}")
+        if warmup_epoch > 0:
+            return main_lr(epoch - (warmup_epoch if warmup_recount else 1))
         return main_lr(epoch)
 
     return lr
@@ -89,7 +101,17 @@ def tx_with_lr(cfg_optim, learning_rate, clip):
                 decay=cfg_optim.MOMENTUM, nesterov=bool(cfg_optim.SGD_NESTEROV)
             )
         )
-    elif name in ("adam", "adamw"):
+    elif name == "adam":
+        # torch Adam couples L2 into the gradient BEFORE the moment
+        # estimates (g + wd*p feeds the first/second moments)
+        if cfg_optim.WEIGHT_DECAY:
+            chain.append(optax.add_decayed_weights(cfg_optim.WEIGHT_DECAY))
+        chain.append(
+            optax.scale_by_adam(b1=cfg_optim.ADAM_BETA1, b2=cfg_optim.ADAM_BETA2)
+        )
+    elif name == "adamw":
+        # decoupled decay (applied after the moments, scaled by lr like
+        # torch AdamW)
         chain.append(
             optax.scale_by_adam(b1=cfg_optim.ADAM_BETA1, b2=cfg_optim.ADAM_BETA2)
         )

@@ -25,7 +25,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def _is_none(x):
@@ -71,35 +71,6 @@ def fedavg_over_clients(stacked_trainable, scrub: bool = True):
     return jax.tree_util.tree_map(avg, stacked_trainable, is_leaf=_is_none)
 
 
-def client_sharding(mesh: Mesh, tree):
-    """Stacked client trees: leading axis over the ``client`` mesh axis."""
-
-    def spec(x):
-        if x is None:
-            return None
-        return NamedSharding(mesh, P("client"))
-
-    return jax.tree_util.tree_map(spec, tree, is_leaf=_is_none)
-
-
-def replicated_sharding(mesh: Mesh, tree):
-    def spec(x):
-        if x is None:
-            return None
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map(spec, tree, is_leaf=_is_none)
-
-
-def batch_sharding(mesh: Mesh, tree):
-    """Batches ``(C, B, ...)``: client axis then data axis."""
-
-    def spec(x):
-        return NamedSharding(mesh, P("client", "data"))
-
-    return jax.tree_util.tree_map(spec, tree)
-
-
 def build_parallel_fed_step(
     loss_fn: Callable,
     tx,
@@ -120,12 +91,31 @@ def build_parallel_fed_step(
             return loss_fn(tr, frozen, batch)
 
         (loss, _aux), grads = jax.value_and_grad(wrapped, has_aux=True)(trainable)
-        updates, opt_state = tx.update(grads, opt_state, trainable)
+        # per-client skip-batch gate on non-finite gradients: keep params
+        # AND momentum untouched, mirroring the single-site recovery
+        # (reference ``trainers/maple.py:617-627``) — without it one NaN
+        # batch corrupts the client for the rest of the round, and with
+        # ``fedavg_every_step`` the scrubbed zeros would be averaged into
+        # every other client
+        finite = jnp.stack([
+            jnp.all(jnp.isfinite(g))
+            for g in jax.tree_util.tree_leaves(grads)
+        ]).all()
+        updates, new_opt_state = tx.update(grads, opt_state, trainable)
+
+        def keep(new, old):
+            if new is None:
+                return None
+            return jnp.where(finite, new, old)
+
         trainable = jax.tree_util.tree_map(
-            lambda p, u: p if u is None else p + u,
+            lambda p, u: p if u is None else keep(p + u, p),
             trainable,
             updates,
             is_leaf=_is_none,
+        )
+        opt_state = jax.tree_util.tree_map(
+            keep, new_opt_state, opt_state, is_leaf=_is_none
         )
         return trainable, opt_state, loss
 
@@ -138,5 +128,7 @@ def build_parallel_fed_step(
             stacked_trainable = fedavg_over_clients(stacked_trainable)
         return stacked_trainable, stacked_opt_state, losses
 
-    with mesh:
-        return jax.jit(step, donate_argnums=(0, 2))
+    # sharding comes entirely from the NamedSharding-committed inputs at
+    # call time; jit traces lazily, so a `with mesh:` here would be a no-op
+    del mesh
+    return jax.jit(step, donate_argnums=(0, 2))

@@ -48,6 +48,9 @@ class CoCoOp(FunctionalTrainerMixin, TrainerX):
 
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.arch, clip_params = load_clip_backbone(cfg.MODEL)
+        from federated_multi_modal_tpu.trainers.common import apply_prec
+
+        clip_params = apply_prec(cfg.TRAINER.COCOOP.PREC, clip_params)
         arch = self.arch
         ctx_dim = arch.transformer_width
         vis_dim = arch.embed_dim

@@ -183,3 +183,17 @@ def linear_params(key, d_in: int, d_out: int) -> dict:
 
 def apply_linear(p, x):
     return jnp.matmul(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
+
+
+def apply_prec(prec: str, clip_params):
+    """Honor TRAINER.*.PREC: "fp32" upcasts the frozen CLIP weights to full
+    precision; "fp16"/"amp"/"bf16" keep the TPU-native bf16 + fp32-LN
+    policy (the analog of the reference's half/AMP modes)."""
+    if prec == "fp32":
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), clip_params
+        )
+    return clip_params

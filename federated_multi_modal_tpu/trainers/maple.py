@@ -236,12 +236,9 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
                 f"injection into transformer blocks); got "
                 f"{cfg.MODEL.BACKBONE.NAME}"
             )
-        if tcfg.PREC == "fp32":
-            # full-precision frozen weights (the bf16+fp32-LN policy is the
-            # TPU analog of the reference's fp16/amp modes)
-            clip_params = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.float32), clip_params
-            )
+        from federated_multi_modal_tpu.trainers.common import apply_prec
+
+        clip_params = apply_prec(tcfg.PREC, clip_params)
         n_ctx = tcfg.N_CTX
         depth = tcfg.PROMPT_DEPTH
         assert depth >= 1, "For MaPLe, PROMPT_DEPTH should be >= 1"

@@ -44,6 +44,9 @@ class VPT(FunctionalTrainerMixin, TrainerX):
 
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.arch, clip_params = load_clip_backbone(cfg.MODEL)
+        from federated_multi_modal_tpu.trainers.common import apply_prec
+
+        clip_params = apply_prec(cfg.TRAINER.VPT.PREC, clip_params)
         arch = self.arch
         if not arch.is_vit:
             raise ValueError(

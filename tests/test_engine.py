@@ -61,27 +61,61 @@ def test_sgd_matches_torch_with_clip_and_decay(rng):
     )
 
 
-def test_cosine_schedule_matches_torch():
+class _DasslWarmupWrapper:
+    """Faithful torch-side simulation of Dassl's ``_BaseWarmupScheduler``:
+    the successor (cosine) scheduler only starts stepping once warmup
+    ends, so post-warmup epoch ``e`` runs at successor counter
+    ``e - warmup_epoch``."""
+
+    def __init__(self, opt, successor, warmup_epoch, kind, cons_lr=None,
+                 min_lr=None, base_lr=None):
+        self.opt = opt
+        self.successor = successor
+        self.warmup_epoch = warmup_epoch
+        self.kind = kind
+        self.cons_lr = cons_lr
+        self.min_lr = min_lr
+        self.base_lr = base_lr
+        self.last_epoch = 0
+
+    def lr(self):
+        e = self.last_epoch
+        if e >= self.warmup_epoch:
+            return self.successor.get_last_lr()[0]
+        if self.kind == "constant":
+            return self.cons_lr
+        return self.min_lr if e == 0 else self.base_lr * e / self.warmup_epoch
+
+    def step(self):
+        if self.last_epoch >= self.warmup_epoch:
+            self.successor.step()
+        self.last_epoch += 1
+
+
+@pytest.mark.parametrize("warmup_type,warmup_epoch", [
+    ("constant", 1), ("linear", 3),
+])
+def test_schedule_matches_dassl_warmup_wrapper(warmup_type, warmup_epoch):
     cfg = get_cfg_default()
     cfg.OPTIM.LR = 0.0035
     cfg.OPTIM.MAX_EPOCH = 9
     cfg.OPTIM.LR_SCHEDULER = "cosine"
-    cfg.OPTIM.WARMUP_EPOCH = 1
-    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_EPOCH = warmup_epoch
+    cfg.OPTIM.WARMUP_TYPE = warmup_type
     cfg.OPTIM.WARMUP_CONS_LR = 1e-5
+    cfg.OPTIM.WARMUP_MIN_LR = 1e-5
     sched = build_lr_schedule(cfg.OPTIM)
 
     p = torch.nn.Parameter(torch.zeros(1))
     opt = torch.optim.SGD([p], lr=0.0035)
     tsched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=9)
-    # warmup epoch 0 uses the constant LR
-    assert sched(0) == pytest.approx(1e-5)
-    for epoch in range(1, 9):
-        # torch cosine at last_epoch=epoch
-        for _ in range(epoch - tsched.last_epoch):
-            tsched.step()
-        torch_lr = opt.param_groups[0]["lr"]
-        assert sched(epoch) == pytest.approx(torch_lr, rel=1e-6), epoch
+    wrapper = _DasslWarmupWrapper(
+        opt, tsched, warmup_epoch, warmup_type,
+        cons_lr=1e-5, min_lr=1e-5, base_lr=0.0035,
+    )
+    for epoch in range(9):
+        assert sched(epoch) == pytest.approx(wrapper.lr(), rel=1e-6), epoch
+        wrapper.step()
 
 
 def test_lr_injection():
@@ -242,3 +276,38 @@ def test_profiling_harness(tmp_path):
         timer.step(jnp.ones(4))
     assert len(timer.history) == 2
     assert timer.avg_step_seconds >= 0.0
+
+
+def test_adam_matches_torch_with_coupled_decay(rng):
+    """torch Adam couples L2 into the gradient before the moment estimates;
+    the optax chain must reproduce its trajectory."""
+    import optax
+
+    from federated_multi_modal_tpu.engine.optim import build_optimizer
+
+    cfg = get_cfg_default()
+    cfg.OPTIM.NAME = "adam"
+    cfg.OPTIM.LR = 0.01
+    cfg.OPTIM.WEIGHT_DECAY = 0.05
+    cfg.OPTIM.GRAD_CLIP_NORM = 0.0
+
+    w0 = rng.standard_normal(8).astype(np.float32)
+    grads = [rng.standard_normal(8).astype(np.float32) for _ in range(4)]
+
+    tp = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tp], lr=0.01, weight_decay=0.05)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    tx = build_optimizer(cfg.OPTIM)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tp.detach().numpy(), rtol=1e-5, atol=1e-6
+    )

@@ -107,8 +107,9 @@ def test_coop_lr_schedule_steps(data_root, tmp_path):
     assert trainer.get_current_lr() == pytest.approx(1e-3)
     trainer.epoch = 0
     trainer.update_lr()
-    # cosine at epoch 1 of 2: lr * 0.5 * (1 + cos(pi/2)) = 0.5 * lr
-    assert trainer.get_current_lr() == pytest.approx(0.01, rel=1e-5)
+    # Dassl warmup wrapper: the cosine successor only starts stepping
+    # after warmup, so epoch 1 runs at cosine counter 0 = base lr
+    assert trainer.get_current_lr() == pytest.approx(0.02, rel=1e-5)
 
 
 def test_vpt_trains(data_root, tmp_path):
