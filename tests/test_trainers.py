@@ -265,3 +265,21 @@ def test_single_site_resume_restores_momentum_and_lr(data_root, tmp_path):
         if hasattr(x, "shape") and getattr(x, "size", 0) > 1
     ]
     assert any(np.abs(l).sum() > 0 for l in leaves)
+
+
+def test_prec_fp32_upcasts_frozen_clip(data_root, tmp_path):
+    """TRAINER.*.PREC='fp32' loads the frozen CLIP tower in full precision
+    (the bf16+fp32-LN policy is the default for fp16/amp/bf16)."""
+    import jax
+
+    cfg = make_cfg(data_root, "MaPLe", tmp_path,
+                   **{"TRAINER.MAPLE.PREC": "fp32",
+                      "TRAINER.MAPLE.PROMPT_DEPTH": 2})
+    trainer = build_trainer(cfg)
+    w = trainer.frozen["model"]["clip"]["visual"]["conv1"]["w"]
+    assert str(w.dtype) == "float32"
+
+    cfg2 = make_cfg(data_root, "CoOp", tmp_path / "coop16")
+    t2 = build_trainer(cfg2)  # default fp16 -> bf16 policy
+    w2 = t2.frozen["clip"]["visual"]["conv1"]["w"]
+    assert str(w2.dtype) == "bfloat16"
