@@ -79,9 +79,11 @@ def load(name: str, download_root: str = None, allow_random: bool = True):
         return _load_torch(name)
 
     if name in _MODELS:
+        # only the DOWNLOAD may fall back to random init — a conversion
+        # failure on an obtained checkpoint is a real error that must
+        # surface, not silently degrade to random weights
         try:
             path = _download(_MODELS[name], download_root)
-            return _load_torch(path)
         except Exception as e:  # no egress / no cache
             if not allow_random:
                 raise
@@ -91,6 +93,7 @@ def load(name: str, download_root: str = None, allow_random: bool = True):
             )
             arch = BACKBONE_CONFIGS[name]
             return arch, init_clip_params(arch)
+        return _load_torch(path)
 
     if name in BACKBONE_CONFIGS and allow_random:
         arch = BACKBONE_CONFIGS[name]
@@ -102,14 +105,8 @@ def load(name: str, download_root: str = None, allow_random: bool = True):
 
 
 def _load_torch(path: str):
-    import torch
+    from federated_multi_modal_tpu.models.params import load_torch_state_dict
 
-    try:
-        model = torch.jit.load(path, map_location="cpu").eval()
-        sd = model.state_dict()
-    except RuntimeError:
-        sd = torch.load(path, map_location="cpu", weights_only=False)
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
+    sd = load_torch_state_dict(path)
     arch = infer_config_from_state_dict(sd)
     return arch, convert_torch_state_dict(sd, arch)

@@ -96,20 +96,10 @@ class DatasetBase:
             return data_sources[0] if len(data_sources) == 1 else data_sources
 
         print(f"Creating a {num_shots}-shot dataset")
-        output = []
-        for data_source in data_sources:
-            tracker = self.split_dataset_by_label(data_source)
-            dataset = []
-            for label, items in tracker.items():
-                if len(items) >= num_shots:
-                    sampled = random.sample(items, num_shots)
-                else:
-                    sampled = (
-                        random.choices(items, k=num_shots) if repeat else items
-                    )
-                dataset.extend(sampled)
-            output.append(dataset)
-
+        output = [
+            generate_fewshot(ds, num_shots, repeat=repeat)
+            for ds in data_sources
+        ]
         return output[0] if len(output) == 1 else output
 
     @staticmethod
@@ -305,9 +295,16 @@ def fewshot_with_cache(cfg, split_fewshot_dir: str, train, val=None):
     preprocessed = os.path.join(split_fewshot_dir, f"shot_{num_shots}-seed_{seed}.pkl")
     if os.path.exists(preprocessed):
         print(f"Loading preprocessed few-shot data from {preprocessed}")
-        with open(preprocessed, "rb") as f:
-            data = pickle.load(f)
-        return data["train"], data.get("val", val)
+        try:
+            with open(preprocessed, "rb") as f:
+                data = pickle.load(f)
+            return data["train"], data.get("val", val)
+        except (ModuleNotFoundError, AttributeError, pickle.UnpicklingError,
+                KeyError) as e:
+            # cache written by the reference repo (pickled dassl Datum
+            # objects) or corrupted — regenerate instead of crashing on a
+            # shared data directory
+            print(f"Cache {preprocessed} is incompatible ({e}); regenerating")
 
     print(f"Creating a {num_shots}-shot dataset")
     train = generate_fewshot(train, num_shots)

@@ -26,12 +26,19 @@ class ImageNet(DatasetBase):
         self.preprocessed = os.path.join(self.dataset_dir, "preprocessed.pkl")
         self.split_fewshot_dir = os.path.join(self.dataset_dir, "split_fewshot")
 
+        train = test = None
         if os.path.exists(self.preprocessed):
-            with open(self.preprocessed, "rb") as f:
-                preprocessed = pickle.load(f)
-            train = preprocessed["train"]
-            test = preprocessed["test"]
-        else:
+            try:
+                with open(self.preprocessed, "rb") as f:
+                    preprocessed = pickle.load(f)
+                train = preprocessed["train"]
+                test = preprocessed["test"]
+            except (ModuleNotFoundError, AttributeError,
+                    pickle.UnpicklingError, KeyError) as e:
+                # reference-written cache (pickled dassl Datums): regenerate
+                print(f"Cache {self.preprocessed} incompatible ({e}); "
+                      "regenerating")
+        if train is None:
             text_file = os.path.join(self.dataset_dir, "classnames.txt")
             classnames = self.read_classnames(text_file)
             train = self.read_data(classnames, "train")

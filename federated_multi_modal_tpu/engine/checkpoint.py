@@ -51,11 +51,16 @@ def flatten_params(tree, prefix: str = "") -> Dict[str, np.ndarray]:
 
 
 def unflatten_into(tree, flat: Dict[str, np.ndarray], prefix: str = "",
-                   strict: bool = False):
+                   strict: bool = False, strict_shapes: bool = False):
     """Write values from ``flat`` into a copy of ``tree`` by dotted name.
 
     Names absent from ``flat`` keep their current value (strict=False
     semantics); unknown names are ignored (they were dropped buffers).
+    ``strict_shapes`` reproduces torch's ``load_state_dict(strict=False)``
+    contract: missing/unexpected keys are tolerated but a PRESENT key with
+    the wrong shape raises (the reference fails loudly there, e.g. a CSC
+    ctx trained on a different class count) — without it a checkpoint can
+    silently "load" onto random-init weights.
     """
     used = set()
 
@@ -66,11 +71,15 @@ def unflatten_into(tree, flat: Dict[str, np.ndarray], prefix: str = "",
         if name in flat:
             arr = np.asarray(flat[name])
             if arr.shape != tuple(leaf.shape):
-                if strict:
+                if strict or strict_shapes:
                     raise ValueError(
                         f"Shape mismatch for {name}: checkpoint {arr.shape} "
                         f"vs model {tuple(leaf.shape)}"
                     )
+                print(
+                    f"Warning: skipping {name} (checkpoint shape "
+                    f"{arr.shape} vs model {tuple(leaf.shape)})"
+                )
                 return leaf
             used.add(name)
             return jax.numpy.asarray(arr, dtype=leaf.dtype)

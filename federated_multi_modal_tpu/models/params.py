@@ -411,6 +411,21 @@ def convert_torch_state_dict(
     return params
 
 
+def load_torch_state_dict(path: str):
+    """Load a torch checkpoint (JIT archive or plain state dict) into a
+    flat name->tensor dict (reference ``clip/clip.py:124-136`` semantics)."""
+    import torch
+
+    try:
+        jit_model = torch.jit.load(path, map_location="cpu").eval()
+        return jit_model.state_dict()
+    except RuntimeError:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        return sd
+
+
 def load_clip_backbone(cfg_model, key=None):
     """Resolve a CLIP backbone into ``(CLIPConfig, params)``.
 
@@ -423,15 +438,7 @@ def load_clip_backbone(cfg_model, key=None):
     name = cfg_model.BACKBONE.NAME
     path = getattr(cfg_model.BACKBONE, "WEIGHTS_PATH", "")
     if path:
-        import torch
-
-        try:
-            jit_model = torch.jit.load(path, map_location="cpu").eval()
-            sd = jit_model.state_dict()
-        except RuntimeError:
-            sd = torch.load(path, map_location="cpu", weights_only=False)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
+        sd = load_torch_state_dict(path)
         arch = infer_config_from_state_dict(sd)
         return arch, convert_torch_state_dict(sd, arch)
 

@@ -36,7 +36,6 @@ from federated_multi_modal_tpu.trainers.common import (
 
 @TRAINER_REGISTRY.register()
 class CoCoOp(FunctionalTrainerMixin, TrainerX):
-    trainer_cfg_key = "COCOOP"
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.COCOOP.PREC in ("fp16", "fp32", "amp", "bf16")
@@ -156,7 +155,8 @@ class CoCoOp(FunctionalTrainerMixin, TrainerX):
 
     def _set_state(self, flat):
         self.invalidate_eval_cache()
-        new, _ = unflatten_into(self.trainable["prompt_learner"], flat)
+        new, _ = unflatten_into(self.trainable["prompt_learner"], flat,
+                                strict_shapes=True)
         self.trainable = {"prompt_learner": new}
 
     def forward_backward(self, batch):

@@ -37,7 +37,6 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
     """Learning to Prompt for Vision-Language Models
     (https://arxiv.org/abs/2109.01134)."""
 
-    trainer_cfg_key = "COOP"
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.COOP.PREC in ("fp16", "fp32", "amp", "bf16")
@@ -89,13 +88,14 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
         )
 
         self.const = const
+        # token_prefix/token_suffix stay host-side on self.const (used only
+        # by the checkpoint surface): duplicating them into the jitted
+        # frozen tree would waste full-embedding-scale HBM for nothing
         self.frozen = {
             "clip": clip_params,
             "prompt_const": {
                 "full_embedding": const.full_embedding,
                 "eot_index": const.eot_index,
-                "token_prefix": const.token_prefix,
-                "token_suffix": const.token_suffix,
                 "layout": tuple(layout),
             },
         }
@@ -165,7 +165,8 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
 
     def _set_state(self, flat):
         self.invalidate_eval_cache()
-        new, _ = unflatten_into(self.trainable["prompt_learner"], flat)
+        new, _ = unflatten_into(self.trainable["prompt_learner"], flat,
+                                strict_shapes=True)
         self.trainable = {"prompt_learner": new}
 
     # -- training ----------------------------------------------------------

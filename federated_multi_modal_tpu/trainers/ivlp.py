@@ -34,7 +34,6 @@ from federated_multi_modal_tpu.trainers.common import (
 
 @TRAINER_REGISTRY.register()
 class IVLP(FunctionalTrainerMixin, TrainerX):
-    trainer_cfg_key = "IVLP"
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.IVLP.PREC in ("fp16", "fp32", "amp", "bf16")
@@ -188,7 +187,8 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
 
     def _set_state(self, flat):
         self.invalidate_eval_cache()
-        self.trainable, _ = unflatten_into(self.trainable, flat)
+        self.trainable, _ = unflatten_into(self.trainable, flat,
+                                           strict_shapes=True)
 
     def forward_backward(self, batch):
         images, labels = self.parse_batch_train(batch)

@@ -426,7 +426,8 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
 
     def _set_state(self, flat):
         self.invalidate_eval_cache()
-        self.trainable, _ = unflatten_into(self.trainable, flat)
+        self.trainable, _ = unflatten_into(self.trainable, flat,
+                                           strict_shapes=True)
 
     # -- batches ---------------------------------------------------------------
     def parse_batch_train(self, batch):

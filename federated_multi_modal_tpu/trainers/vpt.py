@@ -29,7 +29,6 @@ from federated_multi_modal_tpu.tokenizer import tokenize
 
 @TRAINER_REGISTRY.register()
 class VPT(FunctionalTrainerMixin, TrainerX):
-    trainer_cfg_key = "VPT"
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.VPT.PREC in ("fp16", "fp32", "amp", "bf16")
@@ -116,7 +115,8 @@ class VPT(FunctionalTrainerMixin, TrainerX):
 
     def _set_state(self, flat):
         self.invalidate_eval_cache()
-        self.trainable, _ = unflatten_into(self.trainable, flat)
+        self.trainable, _ = unflatten_into(self.trainable, flat,
+                                           strict_shapes=True)
 
     def forward_backward(self, batch):
         images, labels = self.parse_batch_train(batch)

@@ -311,3 +311,17 @@ def test_adam_matches_torch_with_coupled_decay(rng):
     np.testing.assert_allclose(
         np.asarray(params["w"]), tp.detach().numpy(), rtol=1e-5, atol=1e-6
     )
+
+
+def test_unflatten_strict_shapes_raises_like_torch():
+    """Trainer checkpoint loads use torch's load_state_dict(strict=False)
+    contract: missing keys tolerated, but a present key with a wrong shape
+    raises (e.g. a class-specific ctx trained on a different class count)."""
+    tree = {"ctx": jnp.zeros((4, 2, 8)), "other": jnp.zeros(3)}
+    with pytest.raises(ValueError, match="Shape mismatch for ctx"):
+        unflatten_into(tree, {"ctx": np.zeros((7, 2, 8), np.float32)},
+                       strict_shapes=True)
+    # missing keys are still fine under strict_shapes
+    new, used = unflatten_into(tree, {"other": np.ones(3, np.float32)},
+                               strict_shapes=True)
+    assert used == {"other"}
