@@ -51,6 +51,10 @@ def get_cfg_default() -> CN:
     # PIL pipeline (exact parity, slow).
     cfg.INPUT.PIPELINE = "device"
     cfg.INPUT.CANVAS_SIZE = 256
+    # "shorter_crop" = aspect-preserving canvas (Resize(shorter)+CenterCrop
+    # geometry, matching the reference eval pipeline); "squash" stretches
+    # the full frame into the square canvas.
+    cfg.INPUT.CANVAS_MODE = "shorter_crop"
     # Use the native C++ decode library (libjpeg DCT-prescale + libpng +
     # PIL-equivalent resampling, federated_multi_modal_tpu/native/) for the
     # device pipeline's host half; falls back to PIL per-file on failure.

@@ -210,7 +210,10 @@ class DataLoader:
         if getattr(tfm, "native", False):
             from federated_multi_modal_tpu import native as _native
 
-            out = _native.decode_batch(paths, tfm.canvas, tfm.interp_name)
+            out = _native.decode_batch(
+                paths, tfm.canvas, tfm.interp_name,
+                crop_square=getattr(tfm, "crop_square", False),
+            )
             if out is not None:
                 canvases, statuses = out
                 return [

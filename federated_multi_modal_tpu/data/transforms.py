@@ -76,6 +76,13 @@ class DeviceTransform:
         self.interp_name = cfg.INPUT.INTERPOLATION
         self.interp = _INTERP.get(cfg.INPUT.INTERPOLATION, Image.BICUBIC)
         self.scale = getattr(cfg.INPUT, "RRCROP_SCALE", (0.08, 1.0))
+        # "shorter_crop" (default) builds an aspect-preserving canvas
+        # (Resize(shorter) + CenterCrop — the reference's eval geometry);
+        # "squash" stretches the full frame into the square (keeps all
+        # content for training crops, distorts aspect ratios)
+        self.crop_square = (
+            getattr(cfg.INPUT, "CANVAS_MODE", "shorter_crop") != "squash"
+        )
         self.native = bool(getattr(cfg.INPUT, "NATIVE_DECODE", True))
         if self.native:
             from federated_multi_modal_tpu import native as _native
@@ -86,6 +93,11 @@ class DeviceTransform:
 
     def decode_pil(self, impath: str) -> np.ndarray:
         img = _open_rgb(impath)
+        if self.crop_square and img.width != img.height:
+            side = min(img.width, img.height)
+            x0 = (img.width - side) // 2
+            y0 = (img.height - side) // 2
+            img = img.crop((x0, y0, x0 + side, y0 + side))
         img = img.resize((self.canvas, self.canvas), self.interp)
         return np.asarray(img, dtype=np.uint8)
 
@@ -94,7 +106,8 @@ class DeviceTransform:
             from federated_multi_modal_tpu import native as _native
 
             frame = _native.decode_to_canvas(
-                impath, self.canvas, self.interp_name
+                impath, self.canvas, self.interp_name,
+                crop_square=self.crop_square,
             )
             if frame is not None:
                 return frame

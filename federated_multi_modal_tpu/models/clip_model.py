@@ -131,6 +131,13 @@ def encode_image(
 
     n_tail = n_ctx + n_extra
     deep_prompts = deep_prompts or []
+    if deep_prompts and n_ctx == 0:
+        raise ValueError(
+            "deep_prompts require shallow_prompts: injection REPLACES the "
+            "trailing prompt tokens (clip/model.py:320-349); with no "
+            "shallow prompts there is nothing to replace and the sequence "
+            "would silently grow"
+        )
     block = _block_fn(remat)
     for i, blk in enumerate(params["blocks"]):
         if 1 <= i <= len(deep_prompts):
@@ -156,7 +163,8 @@ def encode_image_auto(params, cfg: CLIPConfig, images: jax.Array, **prompt_kwarg
     """
     if cfg.is_vit:
         return encode_image(params, cfg, images, **prompt_kwargs)
-    if any(v is not None for v in prompt_kwargs.values()):
+    prompts = {k: v for k, v in prompt_kwargs.items() if k != "remat"}
+    if any(v is not None for v in prompts.values()):
         raise ValueError("Visual prompting requires a ViT backbone")
     from federated_multi_modal_tpu.models.resnet import encode_image_resnet
 

@@ -39,12 +39,6 @@ class ResNetConfig:
         return self.width * 32
 
 
-RESNET_CONFIGS = {
-    "RN50": ResNetConfig((3, 4, 6, 3), 1024, 64, 224),
-    "RN101": ResNetConfig((3, 4, 23, 3), 512, 64, 224),
-}
-
-
 def conv2d(x, w, stride=1, padding="SAME"):
     """NHWC conv with HWIO kernel."""
     return jax.lax.conv_general_dilated(
@@ -79,7 +73,6 @@ def bottleneck(x, p, stride: int):
 
     identity = x
     if "downsample" in p:
-        identity = x
         if stride > 1:
             identity = avg_pool(identity, stride)
         identity = bn(conv2d(identity, p["downsample"]["conv"]["w"]),
@@ -128,7 +121,12 @@ def encode_image_resnet(params, cfg: ResNetConfig, images: jax.Array) -> jax.Arr
     dtype = params["stem"]["conv1"]["w"].dtype
     x = images.astype(dtype)
     stem = params["stem"]
-    x = jax.nn.relu(bn(conv2d(x, stem["conv1"]["w"], stride=2), stem["bn1"]))
+    # explicit (1,1) padding: lax "SAME" with stride 2 on even inputs pads
+    # (0,1), shifting every window one pixel vs torch Conv2d(padding=1)
+    x = jax.nn.relu(
+        bn(conv2d(x, stem["conv1"]["w"], stride=2,
+                  padding=((1, 1), (1, 1))), stem["bn1"])
+    )
     x = jax.nn.relu(bn(conv2d(x, stem["conv2"]["w"]), stem["bn2"]))
     x = jax.nn.relu(bn(conv2d(x, stem["conv3"]["w"]), stem["bn3"]))
     x = avg_pool(x, 2)
@@ -220,10 +218,10 @@ def init_resnet_params(cfg: ResNetConfig, key=None) -> dict:
 
 
 def _np(t):
-    try:
-        return np.asarray(t.detach().cpu().float().numpy())
-    except AttributeError:
-        return np.asarray(t, dtype=np.float32)
+    # one torch-tensor coercion helper for both towers
+    from federated_multi_modal_tpu.models.params import _np as impl
+
+    return impl(t)
 
 
 def _conv_t(w):

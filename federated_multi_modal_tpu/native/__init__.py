@@ -79,13 +79,13 @@ def _load():
             return None
         lib.fmm_decode_to_canvas.restype = ctypes.c_int
         lib.fmm_decode_to_canvas.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.fmm_decode_batch.restype = ctypes.c_int
         lib.fmm_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int),
         ]
@@ -106,7 +106,8 @@ def version() -> str | None:
 
 
 def decode_to_canvas(
-    path: str, canvas: int, interp: str = "bicubic"
+    path: str, canvas: int, interp: str = "bicubic",
+    crop_square: bool = False,
 ) -> np.ndarray | None:
     """Decode one image file to a (canvas, canvas, 3) uint8 RGB array.
 
@@ -118,7 +119,7 @@ def decode_to_canvas(
         return None
     out = np.empty((canvas, canvas, 3), np.uint8)
     rc = lib.fmm_decode_to_canvas(
-        os.fsencode(path), canvas, INTERP[interp],
+        os.fsencode(path), canvas, INTERP[interp], int(crop_square),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out if rc == OK else None
@@ -128,6 +129,7 @@ def decode_batch(
     paths: list[str],
     canvas: int,
     interp: str = "bicubic",
+    crop_square: bool = False,
     n_threads: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Decode a list of files in parallel into (N, canvas, canvas, 3) uint8.
@@ -145,7 +147,7 @@ def decode_batch(
     statuses = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     lib.fmm_decode_batch(
-        arr, n, canvas, INTERP[interp], int(n_threads),
+        arr, n, canvas, INTERP[interp], int(crop_square), int(n_threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )

@@ -301,7 +301,29 @@ void resample(const Image& src, int canvas, int interp, uint8_t* dst) {
   }
 }
 
-int decode_one(const char* path, int canvas, int interp, uint8_t* out) {
+// Center-crop to the shorter-side square in place (aspect-preserving
+// canvas: Resize(shorter)+CenterCrop parity with the reference eval
+// pipeline; the squash mode distorts aspect ratios).
+void center_crop_square(Image* img) {
+  int side = img->w < img->h ? img->w : img->h;
+  if (img->w == img->h) return;
+  int x0 = (img->w - side) / 2;
+  int y0 = (img->h - side) / 2;
+  std::vector<uint8_t> px(static_cast<size_t>(side) * side * 3);
+  for (int y = 0; y < side; ++y) {
+    const uint8_t* srow =
+        img->px.data() +
+        (static_cast<size_t>(y0 + y) * img->w + x0) * 3;
+    std::memcpy(px.data() + static_cast<size_t>(y) * side * 3, srow,
+                static_cast<size_t>(side) * 3);
+  }
+  img->px = std::move(px);
+  img->w = side;
+  img->h = side;
+}
+
+int decode_one(const char* path, int canvas, int interp, int crop_square,
+               uint8_t* out) {
   if (!path || !out || canvas <= 0) return FMM_ERR_ARG;
   FILE* f = std::fopen(path, "rb");
   if (!f) return FMM_ERR_OPEN;
@@ -320,6 +342,7 @@ int decode_one(const char* path, int canvas, int interp, uint8_t* out) {
   std::fclose(f);
   if (rc != FMM_OK) return rc;
   if (img.w <= 0 || img.h <= 0) return FMM_ERR_DECODE;
+  if (crop_square) center_crop_square(&img);
   resample(img, canvas, interp, out);
   return FMM_OK;
 }
@@ -329,16 +352,19 @@ int decode_one(const char* path, int canvas, int interp, uint8_t* out) {
 extern "C" {
 
 // Decode `path` into a canvas x canvas x 3 uint8 RGB buffer.
+// crop_square: 1 = aspect-preserving shorter-side center crop before the
+// resample; 0 = squash the full frame.
 int fmm_decode_to_canvas(const char* path, int canvas, int interp,
-                         uint8_t* out) {
-  return decode_one(path, canvas, interp, out);
+                         int crop_square, uint8_t* out) {
+  return decode_one(path, canvas, interp, crop_square, out);
 }
 
 // Decode n files in parallel with up to n_threads worker threads.
 // `out` is n * canvas * canvas * 3 bytes; statuses[i] gets the per-file rc.
 // Returns the number of failures.
 int fmm_decode_batch(const char** paths, int n, int canvas, int interp,
-                     int n_threads, uint8_t* out, int* statuses) {
+                     int crop_square, int n_threads, uint8_t* out,
+                     int* statuses) {
   if (n <= 0 || !paths || !out || !statuses) return -1;
   size_t stride = static_cast<size_t>(canvas) * canvas * 3;
   std::atomic<int> next{0};
@@ -347,7 +373,8 @@ int fmm_decode_batch(const char** paths, int n, int canvas, int interp,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      int rc = decode_one(paths[i], canvas, interp, out + stride * i);
+      int rc = decode_one(paths[i], canvas, interp, crop_square,
+                          out + stride * i);
       statuses[i] = rc;
       if (rc != FMM_OK) failures.fetch_add(1);
     }
@@ -364,6 +391,6 @@ int fmm_decode_batch(const char** paths, int n, int canvas, int interp,
   return failures.load();
 }
 
-const char* fmm_native_version() { return "fmmtpu-io 1.0"; }
+const char* fmm_native_version() { return "fmmtpu-io 1.1"; }
 
 }  // extern "C"

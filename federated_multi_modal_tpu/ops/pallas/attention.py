@@ -425,7 +425,11 @@ def fused_attention_diff(q, k, v, n_head, attn_mask=None):
     """Differentiable fused attention: the forward runs the Pallas kernel;
     the backward recomputes through the XLA formulation (one extra forward
     in the backward pass — acceptable when the flag is used for training,
-    ideal when it isn't)."""
+    ideal when it isn't).
+
+    ``attn_mask`` is treated as a CONSTANT: its cotangent is None (JAX
+    materializes zeros), so a *learned* additive mask/bias must NOT be
+    routed through this path — use the plain XLA attention for that."""
     return fused_attention(q, k, v, n_head, attn_mask)
 
 

@@ -46,6 +46,11 @@ def _resample_matrix(
     """Interpolation weights ``(out_size, canvas_size)`` for resampling the
     window ``[start, start+length)`` of one axis to ``out_size`` samples,
     with PIL-style antialiasing (kernel stretched by the downscale factor).
+
+    Contributions are CLIPPED to the crop window like PIL's
+    ``resize(box=...)`` — without the mask, kernel tails reach pixels
+    outside the box and foreign content bleeds into a ~2*kscale-pixel
+    border of every crop.
     """
     scale = length / out_size
     kscale = jnp.maximum(scale, 1.0)
@@ -53,6 +58,8 @@ def _resample_matrix(
     pos = jnp.arange(canvas_size, dtype=jnp.float32)
     t = (pos[None, :] - centers[:, None]) / kscale
     w = _cubic_kernel(t)
+    inside = (pos + 0.5 >= start) & (pos + 0.5 <= start + length)
+    w = w * inside[None, :].astype(w.dtype)
     return w / jnp.sum(w, axis=1, keepdims=True)
 
 

@@ -176,3 +176,45 @@ def test_loader_uses_native_batch_decode(tmp_path):
     # epoch 2 served from the canvas cache, identical content
     again = list(loader)
     assert sum(len(b["label"]) for b in again) == 7
+
+
+def test_crop_square_canvas_matches_pil(tmp_path):
+    """Aspect-preserving canvas (CANVAS_MODE=shorter_crop): native and PIL
+    paths agree and match PIL's explicit CenterCrop(shorter)+Resize."""
+    from PIL import Image
+
+    from federated_multi_modal_tpu import native
+    from federated_multi_modal_tpu.config import get_cfg_default
+    from federated_multi_modal_tpu.data.transforms import DeviceTransform
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (60, 100, 3), np.uint8)  # wide image
+    p = str(tmp_path / "wide.png")
+    Image.fromarray(arr).save(p)
+
+    cfg = get_cfg_default()
+    cfg.INPUT.CANVAS_SIZE = 48
+    tfm = DeviceTransform(cfg, is_train=False)
+    assert tfm.crop_square
+    canvas = tfm(p)
+    assert canvas.shape == (48, 48, 3)
+
+    # explicit PIL reference: center-crop 60x60, resize to 48
+    ref = Image.fromarray(arr).crop((20, 0, 80, 60)).resize(
+        (48, 48), Image.BICUBIC
+    )
+    ref = np.asarray(ref, np.float32)
+    assert np.abs(canvas.astype(np.float32) - ref).mean() < 2.0
+
+    # native and PIL decode paths agree on the geometry
+    pil_canvas = tfm.decode_pil(p)
+    assert np.abs(canvas.astype(np.float32) -
+                  pil_canvas.astype(np.float32)).mean() < 2.0
+
+    if native.available():
+        nat = native.decode_to_canvas(p, 48, "bicubic", crop_square=True)
+        assert nat is not None
+        assert np.abs(nat.astype(np.float32) - ref).mean() < 2.0
+        # squash mode differs on non-square input
+        sq = native.decode_to_canvas(p, 48, "bicubic", crop_square=False)
+        assert np.abs(sq.astype(np.float32) - ref).mean() > 2.0

@@ -121,3 +121,31 @@ def test_output_dtype_and_normalization():
     np.testing.assert_allclose(
         np.asarray(out, np.float32)[0, 16, 16], expected, atol=2e-2
     )
+
+
+def test_crop_does_not_bleed_outside_box():
+    """torchvision crops FIRST, then resizes — content outside the crop box
+    must not influence the output (kernel support clipped at box edges)."""
+    rng = np.random.default_rng(7)
+    canvas = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    boxes = np.asarray([[8.0, 8.0, 32.0, 32.0]], np.float32)
+    flips = np.zeros(1, bool)
+    out1 = crop_resize_flip_normalize(
+        jnp.asarray(canvas), jnp.asarray(boxes), jnp.asarray(flips), out_size=48
+    )
+    tampered = canvas.copy()
+    tampered[:, :8, :, :] = 0
+    tampered[:, 40:, :, :] = 255
+    out2 = crop_resize_flip_normalize(
+        jnp.asarray(tampered), jnp.asarray(boxes), jnp.asarray(flips), out_size=48
+    )
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # and the crop itself matches PIL crop-then-resize closely
+    from PIL import Image
+
+    ref = Image.fromarray(canvas[0]).crop((8, 8, 40, 40)).resize(
+        (48, 48), Image.BICUBIC
+    )
+    got = _denorm(out1)[0] * 255.0
+    assert np.abs(got - np.asarray(ref, np.float32)).mean() < 1.0
