@@ -69,15 +69,23 @@ def initialize_multihost(
                 process_id=process_id,
             )
         else:
-            # Cloud TPU pod: runtime metadata carries the topology
-            jax.distributed.initialize()
+            # Cloud TPU pod: runtime metadata carries the topology, but an
+            # explicitly pinned topology is passed through, not dropped
+            jax.distributed.initialize(
+                num_processes=num_processes, process_id=process_id
+            )
     except RuntimeError as e:
-        # backend already initialized (e.g. preloaded by the environment):
-        # a real pod run must initialize before first JAX use
-        import warnings
+        # tolerate ONLY the already-initialized case (e.g. the backend was
+        # preloaded by the environment).  A connection/topology failure on
+        # an explicitly configured coordinator must NOT degrade to N
+        # independent "process 0" runs that all write the same OUTPUT_DIR.
+        msg = str(e).lower()
+        if "already initialized" in msg or "must be called before" in msg:
+            import warnings
 
-        warnings.warn(f"multi-host initialize skipped: {e}")
-        return False
+            warnings.warn(f"multi-host initialize skipped: {e}")
+            return jax.process_count() > 1
+        raise
     return jax.process_count() > 1
 
 

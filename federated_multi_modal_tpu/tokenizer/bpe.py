@@ -30,8 +30,13 @@ import numpy as np
 
 try:
     import regex as re
-except ImportError:  # pragma: no cover - regex is available in target env
-    import re  # type: ignore
+except ImportError as _e:  # pragma: no cover - regex is in the target env
+    # stdlib `re` cannot compile the \p{L}/\p{N} unicode classes the CLIP
+    # word pattern needs — fail with a clear message instead of an obscure
+    # `bad escape \p` at tokenizer construction
+    raise ImportError(
+        "the `regex` package is required for CLIP BPE tokenization"
+    ) from _e
 
 try:
     import ftfy

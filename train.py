@@ -79,15 +79,19 @@ def main(args):
 
     # multi-host pods: wire the jax.distributed coordinator before any
     # backend use; single-host runs are a no-op
-    if initialize_multihost():
-        print(f"Multi-host run: {process_count()} processes")
+    multihost = initialize_multihost()
 
     cfg = setup_cfg(args)
+    # install the log.txt tee FIRST so the seed/topology provenance lands
+    # in the artifact parse_test_res.py reads (Dassl calls setup_logger
+    # before anything else prints)
+    if is_main_process():  # one log.txt writer per pod
+        setup_logger(cfg.OUTPUT_DIR)
+    if multihost:
+        print(f"Multi-host run: {process_count()} processes")
     if cfg.SEED >= 0:
         print(f"Setting fixed seed: {cfg.SEED}")
         set_random_seed(cfg.SEED)
-    if is_main_process():  # one log.txt writer per pod
-        setup_logger(cfg.OUTPUT_DIR)
 
     print_args(args, cfg)
     print("Collecting env info ...")
