@@ -51,9 +51,11 @@ def get_cfg_default() -> CN:
     # PIL pipeline (exact parity, slow).
     cfg.INPUT.PIPELINE = "device"
     cfg.INPUT.CANVAS_SIZE = 256
-    # "shorter_crop" = aspect-preserving canvas (Resize(shorter)+CenterCrop
-    # geometry, matching the reference eval pipeline); "squash" stretches
-    # the full frame into the square canvas.
+    # "shorter_crop" = aspect-preserving EVAL canvas (Resize(shorter)+
+    # CenterCrop geometry, matching the reference eval pipeline); training
+    # canvases always keep the full frame so the on-device RRC matches the
+    # reference's full-frame torchvision RRC coverage.  "squash" stretches
+    # the full frame into the square canvas for eval too.
     cfg.INPUT.CANVAS_MODE = "shorter_crop"
     # Use the native C++ decode library (libjpeg DCT-prescale + libpng +
     # PIL-equivalent resampling, federated_multi_modal_tpu/native/) for the

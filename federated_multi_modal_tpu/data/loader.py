@@ -159,8 +159,24 @@ class DataLoader:
             "RandomDomainSampler", "SeqDomainSampler", "RandomClassSampler"
         )
 
+    def _reap_worker(self) -> None:
+        """Stop and join an abandoned prefetch worker from a previous,
+        partially consumed epoch BEFORE touching the rng/cache it shares
+        with us (the worker calls ``transform.sample_params(self.rng, ...)``
+        inside ``_make_batch``; ``_index_batches`` uses the same generator,
+        so both ``__iter__`` and ``__len__``/``_next_plan`` must reap
+        first).  A consumer that bails mid-epoch — e.g. a NaN hard-raise —
+        would otherwise leave the old thread racing this call's sampling."""
+        if self._stop_worker is not None:
+            self._stop_worker.set()
+            self._stop_worker = None
+        if getattr(self, "_worker_thread", None) is not None:
+            self._worker_thread.join(timeout=30.0)
+            self._worker_thread = None
+
     def _next_plan(self) -> list:
         if self._plan is None:
+            self._reap_worker()
             self._plan = self._index_batches()
         return self._plan
 
@@ -268,16 +284,7 @@ class DataLoader:
         return batch
 
     def __iter__(self):
-        # stop any abandoned prefetch worker from a previous, partially
-        # consumed epoch BEFORE touching the rng/cache it shares with us
-        # (a consumer that bails mid-epoch — e.g. a NaN hard-raise — would
-        # otherwise leave the old thread racing this epoch's sampling)
-        if self._stop_worker is not None:
-            self._stop_worker.set()
-            self._stop_worker = None
-        if getattr(self, "_worker_thread", None) is not None:
-            self._worker_thread.join(timeout=30.0)
-            self._worker_thread = None
+        self._reap_worker()
         batches = self._next_plan()
         self._plan = None  # next len()/iter() realizes a fresh plan
         self.epoch += 1

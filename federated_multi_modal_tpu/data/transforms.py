@@ -77,11 +77,16 @@ class DeviceTransform:
         self.interp = _INTERP.get(cfg.INPUT.INTERPOLATION, Image.BICUBIC)
         self.scale = getattr(cfg.INPUT, "RRCROP_SCALE", (0.08, 1.0))
         # "shorter_crop" (default) builds an aspect-preserving canvas
-        # (Resize(shorter) + CenterCrop — the reference's eval geometry);
-        # "squash" stretches the full frame into the square (keeps all
-        # content for training crops, distorts aspect ratios)
+        # (Resize(shorter) + CenterCrop — the reference's eval geometry)
+        # for EVAL only; training canvases always keep the full frame
+        # (squashed into the square) so the on-device RandomResizedCrop can
+        # sample anywhere in the original image, like the reference's
+        # torchvision RRC over the full frame — a center-cropped train
+        # canvas could never show a crop the off-center band of a
+        # non-square photo.  "squash" uses the full frame for eval too.
         self.crop_square = (
             getattr(cfg.INPUT, "CANVAS_MODE", "shorter_crop") != "squash"
+            and not is_train
         )
         self.native = bool(getattr(cfg.INPUT, "NATIVE_DECODE", True))
         if self.native:

@@ -423,13 +423,30 @@ class TrainerBase:
             saved_opt = checkpoint.get("optimizer")
             if saved_opt is not None and getattr(self, "opt_state", None) is not None:
                 try:
-                    structure = jax.tree_util.tree_structure(self.opt_state)
+                    cur_leaves, structure = jax.tree_util.tree_flatten(
+                        self.opt_state
+                    )
                     leaves = jax.tree_util.tree_leaves(saved_opt)
-                    if structure.num_leaves == len(leaves):
+                    # leaf-count equality alone is not enough: a checkpoint
+                    # saved under a different optimizer config can have a
+                    # coincidentally equal leaf count and unflatten into the
+                    # wrong slots (e.g. an LR hyperparam landing in a
+                    # momentum leaf) — require per-leaf shape agreement too
+                    shapes_match = structure.num_leaves == len(leaves) and all(
+                        jnp.shape(jnp.asarray(s)) == jnp.shape(c)
+                        for s, c in zip(leaves, cur_leaves)
+                    )
+                    if shapes_match:
                         self.opt_state = jax.tree_util.tree_unflatten(
                             structure, [jnp.asarray(x) for x in leaves]
                         )
                         restored_opt = True
+                    else:
+                        print(
+                            "Saved optimizer state does not match the "
+                            "current optimizer (leaf count/shapes differ); "
+                            "momentum restarts, LR set from the schedule"
+                        )
                 except Exception as e:
                     print(f"Could not restore optimizer state: {e}")
             print(f"Resumed {name} from {fpath} (epoch {start})")
@@ -591,7 +608,13 @@ class FunctionalTrainerMixin:
             return
         ckpt = load_checkpoint(path)
         flat = drop_class_conditioned(ckpt.get("state_dict", ckpt))
-        self.trainable, used = unflatten_into(self.trainable, flat)
+        # strict_shapes mirrors torch load_state_dict(strict=False): missing
+        # keys are fine (class-conditioned buffers already dropped), but a
+        # present key with the wrong shape must raise like the reference —
+        # not silently leave a random-init leaf in place
+        self.trainable, used = unflatten_into(
+            self.trainable, flat, strict_shapes=True
+        )
         self._eval_cache = None
         print(f"Initialized {len(used)} tensors from {path}")
 

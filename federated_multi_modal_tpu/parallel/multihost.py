@@ -75,17 +75,28 @@ def initialize_multihost(
                 num_processes=num_processes, process_id=process_id
             )
     except RuntimeError as e:
-        # tolerate ONLY the already-initialized case (e.g. the backend was
-        # preloaded by the environment).  A connection/topology failure on
-        # an explicitly configured coordinator must NOT degrade to N
-        # independent "process 0" runs that all write the same OUTPUT_DIR.
-        msg = str(e).lower()
-        if "already initialized" in msg or "must be called before" in msg:
+        # tolerate ONLY the genuinely-already-initialized case (e.g. the
+        # distributed runtime was wired up by the environment before us).
+        # "must be called before backends are initialized" does NOT mean
+        # that: it means some earlier backend query (a preloading
+        # sitecustomize, an early jax.devices()) made initialization
+        # impossible while jax.distributed was never initialized at all.
+        # Swallowing it on an explicitly configured coordinator would
+        # degrade to N independent "process 0" runs that all write the
+        # same OUTPUT_DIR — so that case must raise.
+        if jax.distributed.is_initialized():
             import warnings
 
             warnings.warn(f"multi-host initialize skipped: {e}")
             return jax.process_count() > 1
-        raise
+        raise RuntimeError(
+            "jax.distributed.initialize failed and the distributed runtime "
+            "is NOT active; a multi-host run was explicitly configured, so "
+            "continuing would produce independent single-host processes "
+            "all acting as process 0. Ensure initialize_multihost() runs "
+            "before any JAX backend query (jax.devices(), array creation, "
+            "sitecustomize preloads)."
+        ) from e
     return jax.process_count() > 1
 
 
