@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from federated_multi_modal_tpu.models.params import CLIPConfig
 from federated_multi_modal_tpu.ops.primitives import (
+    build_block_causal_mask,
     build_causal_mask,
     layer_norm,
     linear,
@@ -182,6 +183,16 @@ def embed_tokens(params_text, tokens: jax.Array) -> jax.Array:
     return jnp.take(params_text["token_embedding"], tokens, axis=0)
 
 
+# Packed text rows target one MXU tile of tokens: P = 128 // T truncated
+# prompts share a row under a block-diagonal causal mask, turning the text
+# tower's (T, T) attention matmuls (T ~ 8-24 after EOT truncation — ~2%
+# MXU utilization as (n_cls*H) tiny batched matmuls) into (128, 128) ones.
+# The packing reshape is layout-free ((N, T, d) and (N/P, P*T, d) share
+# row-major memory), and per-sequence positions/LN/MLP are unaffected, so
+# the math is identical up to fp accumulation order.
+TEXT_PACK_TARGET = 128
+
+
 def encode_text_embedded(
     params,
     cfg: CLIPConfig,
@@ -190,6 +201,7 @@ def encode_text_embedded(
     deep_prompts: Optional[Sequence[jax.Array]] = None,
     remat: bool = False,
     max_len: Optional[int] = None,
+    pack: Optional[bool] = None,
 ) -> jax.Array:
     """Text transformer over pre-assembled prompt embeddings.
 
@@ -208,24 +220,50 @@ def encode_text_embedded(
             *mathematically exact* for EOT pooling — and cuts the text
             tower's FLOPs by ~77/max_len (class prompts are ~8 tokens).
             Pass ``PromptConstants.text_len``.
+        pack: pack ``128 // T`` sequences per attention row under a
+            block-diagonal causal mask (MXU-shaped attention; exact same
+            per-sequence math).  ``None`` = auto (on when ``T <= 64``).
     """
     if max_len is not None and prompts.shape[1] > max_len:
         prompts = prompts[:, :max_len]
     dtype = params["text_projection"].dtype
     pos = params["positional_embedding"][: prompts.shape[1]]
     x = prompts.astype(dtype) + pos.astype(dtype)[None]
-    mask = build_causal_mask(x.shape[1])
 
+    N, T, d = x.shape
+    P = TEXT_PACK_TARGET // T if (pack or pack is None) else 1
     deep_prompts = deep_prompts or []
-    N = x.shape[0]
+    if P >= 2:
+        G = -(-N // P)
+        if G >= 8:
+            # round the packed-row count to a multiple of 4 so the Pallas
+            # packed kernels can group 4 rows per grid step (and XLA gets
+            # even batch tiles); <= 3 rows of waste
+            G = -(-G // 4) * 4
+        n_pad = G * P
+        if n_pad != N:
+            x = jnp.pad(x, ((0, n_pad - N), (0, 0), (0, 0)))
+        mask = build_block_causal_mask(P, T)
+        x = x.reshape(G, P * T, d)
+    else:
+        n_pad = N
+        mask = build_causal_mask(T)
+
     block = _block_fn(remat)
     for i, blk in enumerate(params["blocks"]):
         if 1 <= i <= len(deep_prompts):
-            p = _broadcast_prompt(deep_prompts[i - 1], N, dtype)
+            p = deep_prompts[i - 1]
+            if p.ndim == 3 and p.shape[0] == N and n_pad != N:
+                p = jnp.pad(p, ((0, n_pad - N), (0, 0), (0, 0)))
+            p = _broadcast_prompt(p, n_pad, dtype)
             n_ctx = p.shape[1]
-            x = jnp.concatenate([x[:, :1], p, x[:, 1 + n_ctx :]], axis=1)
+            xs = x.reshape(n_pad, T, d) if P >= 2 else x
+            xs = jnp.concatenate([xs[:, :1], p, xs[:, 1 + n_ctx :]], axis=1)
+            x = xs.reshape(G, P * T, d) if P >= 2 else xs
         x = block(x, blk, cfg.transformer_heads, mask)
 
+    if P >= 2:
+        x = x.reshape(n_pad, T, d)[:N]
     x = layer_norm(x, params["ln_final"])
     pooled = jnp.take_along_axis(x, eot_index[:, None, None], axis=1)[:, 0]
     feats = jnp.matmul(

@@ -223,7 +223,8 @@ def _key_mask(s, valid_T):
     return jnp.where(kidx < valid_T, s, -jnp.inf)
 
 
-def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, hd, scale, valid_T):
+def _packed_fwd_body(q_ref, k_ref, v_ref, m_ref, o_ref, *, hd, scale,
+                     valid_T):
     outs = []
     for i in range(q_ref.shape[-1] // hd):
         lo = i * hd
@@ -234,7 +235,9 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, hd, scale, valid_T):
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        if valid_T is not None:
+        if m_ref is not None:
+            s = s + m_ref[...][None]
+        elif valid_T is not None:
             s = _key_mask(s, valid_T)
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
         outs.append(
@@ -246,8 +249,19 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, hd, scale, valid_T):
     o_ref[...] = jnp.concatenate(outs, axis=-1)
 
 
-def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                       *, hd, scale, valid_T):
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, hd, scale, valid_T):
+    _packed_fwd_body(q_ref, k_ref, v_ref, None, o_ref, hd=hd, scale=scale,
+                     valid_T=valid_T)
+
+
+def _packed_fwd_kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, hd,
+                              scale):
+    _packed_fwd_body(q_ref, k_ref, v_ref, m_ref, o_ref, hd=hd, scale=scale,
+                     valid_T=None)
+
+
+def _packed_bwd_body(q_ref, k_ref, v_ref, g_ref, m_ref, dq_ref, dk_ref,
+                     dv_ref, *, hd, scale, valid_T):
     dqs, dks, dvs = [], [], []
     for i in range(q_ref.shape[-1] // hd):
         lo = i * hd
@@ -259,7 +273,9 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        if valid_T is not None:
+        if m_ref is not None:
+            s = s + m_ref[...][None]
+        elif valid_T is not None:
             s = _key_mask(s, valid_T)
         p = jax.nn.softmax(s, axis=-1)  # fp32 (GB, T, T)
         p_c = p.astype(v.dtype)
@@ -293,6 +309,18 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     dq_ref[...] = jnp.concatenate(dqs, axis=-1)
     dk_ref[...] = jnp.concatenate(dks, axis=-1)
     dv_ref[...] = jnp.concatenate(dvs, axis=-1)
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                       *, hd, scale, valid_T):
+    _packed_bwd_body(q_ref, k_ref, v_ref, g_ref, None, dq_ref, dk_ref,
+                     dv_ref, hd=hd, scale=scale, valid_T=valid_T)
+
+
+def _packed_bwd_kernel_masked(q_ref, k_ref, v_ref, g_ref, m_ref, dq_ref,
+                              dk_ref, dv_ref, *, hd, scale):
+    _packed_bwd_body(q_ref, k_ref, v_ref, g_ref, m_ref, dq_ref, dk_ref,
+                     dv_ref, hd=hd, scale=scale, valid_T=None)
 
 
 def _pad_tokens(x: jax.Array, Tp: int) -> jax.Array:
@@ -393,6 +421,116 @@ packed_attention.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
 
 def packed_attention_eligible(B, T, D, n_head, attn_mask) -> bool:
     return attn_mask is None and _packed_layout(B, T, D, n_head) is not None
+
+
+# --------------------------------------------------------------------------
+# masked packed-QKV attention (sequence-packed text rows: block-diagonal
+# causal masks; full custom VJP, nothing saved to HBM between fwd and bwd)
+# --------------------------------------------------------------------------
+
+
+def _padded_mask(attn_mask: jax.Array, T: int, Tp: int) -> jax.Array:
+    mask = jnp.zeros((Tp, Tp), jnp.float32)
+    mask = mask.at[:T, :T].set(attn_mask.astype(jnp.float32))
+    if Tp != T:
+        mask = mask.at[:, T:].set(-jnp.inf)  # padded KEYS only — padded
+        # query rows stay finite (their outputs are sliced off)
+    return mask
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def attention_packed_fwd_masked(qkv, attn_mask, n_head: int, interpret=None):
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // n_head
+    layout = _packed_layout(B, T, D, n_head)
+    assert layout is not None, (qkv.shape, n_head)
+    GB, hp = layout
+    Tp = _round_up(T, 8)
+    qkv = _pad_tokens(qkv, Tp)
+    mask = _padded_mask(attn_mask, T, Tp)
+    bs = hp * hd
+    Hb = D // bs
+    blk = (GB, Tp, bs)
+    q_spec = pl.BlockSpec(blk, lambda i, h: (i, 0, h))
+    k_spec = pl.BlockSpec(blk, lambda i, h: (i, 0, Hb + h))
+    v_spec = pl.BlockSpec(blk, lambda i, h: (i, 0, 2 * Hb + h))
+    m_spec = pl.BlockSpec((Tp, Tp), lambda i, h: (0, 0))
+    o_spec = pl.BlockSpec(blk, lambda i, h: (i, 0, h))
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_fwd_kernel_masked, hd=hd, scale=1.0 / np.sqrt(hd)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), qkv.dtype),
+        grid=(B // GB, Hb),
+        in_specs=[q_spec, k_spec, v_spec, m_spec],
+        out_specs=o_spec,
+        interpret=_auto_interpret(interpret),
+    )(qkv, qkv, qkv, mask)
+    return out[:, :T] if Tp != T else out
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def attention_packed_bwd_masked(qkv, g, attn_mask, n_head: int,
+                                interpret=None):
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // n_head
+    GB, hp = _packed_layout(B, T, D, n_head)
+    Tp = _round_up(T, 8)
+    qkv = _pad_tokens(qkv, Tp)
+    g = _pad_tokens(g, Tp)
+    mask = _padded_mask(attn_mask, T, Tp)
+    bs = hp * hd
+    Hb = D // bs
+    blk = (GB, Tp, bs)
+    q_spec = pl.BlockSpec(blk, lambda i, h: (i, 0, h))
+    k_spec = pl.BlockSpec(blk, lambda i, h: (i, 0, Hb + h))
+    v_spec = pl.BlockSpec(blk, lambda i, h: (i, 0, 2 * Hb + h))
+    g_spec = pl.BlockSpec(blk, lambda i, h: (i, 0, h))
+    m_spec = pl.BlockSpec((Tp, Tp), lambda i, h: (0, 0))
+    d_spec = pl.BlockSpec(blk, lambda i, h: (i, 0, h))
+    shape = jax.ShapeDtypeStruct((B, Tp, D), qkv.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _packed_bwd_kernel_masked, hd=hd, scale=1.0 / np.sqrt(hd)
+        ),
+        out_shape=(shape, shape, shape),
+        grid=(B // GB, Hb),
+        in_specs=[q_spec, k_spec, v_spec, g_spec, m_spec],
+        out_specs=(d_spec, d_spec, d_spec),
+        interpret=_auto_interpret(interpret),
+    )(qkv, qkv, qkv, g, mask)
+    out = jnp.concatenate([dq, dk, dv], axis=-1)
+    return out[:, :T] if Tp != T else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def packed_attention_masked(qkv: jax.Array, attn_mask: jax.Array,
+                            n_head: int) -> jax.Array:
+    """Differentiable fused attention over packed QKV with a STATIC
+    additive mask (block-diagonal causal for sequence-packed text rows).
+
+    The mask is a constant of the program — its cotangent is None, so a
+    *learned* mask/bias must not use this path (same contract as
+    ``fused_attention_diff``)."""
+    return attention_packed_fwd_masked(qkv, attn_mask, n_head)
+
+
+def _pam_fwd(qkv, attn_mask, n_head):
+    return attention_packed_fwd_masked(qkv, attn_mask, n_head), (qkv, attn_mask)
+
+
+def _pam_bwd(n_head, res, g):
+    qkv, attn_mask = res
+    return attention_packed_bwd_masked(qkv, g, attn_mask, n_head), None
+
+
+packed_attention_masked.defvjp(_pam_fwd, _pam_bwd)
+
+
+def packed_attention_masked_eligible(B, T, D, n_head, attn_mask) -> bool:
+    return attn_mask is not None and _packed_layout(B, T, D, n_head) is not None
 
 
 # --------------------------------------------------------------------------

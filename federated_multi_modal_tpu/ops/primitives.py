@@ -83,12 +83,21 @@ def multi_head_attention(
             fused_attention_diff,
             packed_attention,
             packed_attention_eligible,
+            packed_attention_masked,
+            packed_attention_masked_eligible,
         )
 
         if packed_attention_eligible(B, T, D, n_head, attn_mask):
             # no-mask fast path (vision tower): one kernel each direction
             # straight over the packed QKV tensor
             out = packed_attention(qkv, n_head)
+            return linear(out, p["w_out"], p["b_out"])
+        if T >= 32 and packed_attention_masked_eligible(
+            B, T, D, n_head, attn_mask
+        ):
+            # masked fast path (sequence-packed text rows, full 77-token
+            # text): packed-QKV kernels with the static mask folded in
+            out = packed_attention_masked(qkv, attn_mask, n_head)
             return linear(out, p["w_out"], p["b_out"])
         if T >= 32:
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -142,6 +151,22 @@ def build_causal_mask(context_length: int) -> jnp.ndarray:
     ``clip/model.py:679-685``)."""
     mask = jnp.full((context_length, context_length), -jnp.inf, jnp.float32)
     return jnp.triu(mask, k=1)
+
+
+def build_block_causal_mask(n_blocks: int, block_len: int) -> jnp.ndarray:
+    """Block-diagonal causal mask for sequence-packed text rows.
+
+    ``n_blocks`` independent sequences of ``block_len`` tokens share one
+    packed row of ``n_blocks * block_len`` tokens; position ``i`` may attend
+    to ``j`` iff both live in the same block and ``j <= i``.  Packing several
+    EOT-truncated class prompts per row turns the text tower's tiny
+    ``(T, T)`` attention matmuls into MXU-sized ``(128, 128)`` ones while
+    computing mathematically identical per-sequence attention."""
+    L = n_blocks * block_len
+    idx = jnp.arange(L)
+    same_block = (idx[:, None] // block_len) == (idx[None, :] // block_len)
+    causal = idx[None, :] <= idx[:, None]
+    return jnp.where(same_block & causal, 0.0, -jnp.inf).astype(jnp.float32)
 
 
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:

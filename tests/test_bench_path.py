@@ -115,3 +115,35 @@ def test_bench_cli_data_parallel_smoke():
     rec = json.loads(line[0])
     assert rec["unit"] == "images/sec/chip" and rec["value"] > 0
     assert "data-parallel over 8 devices" in out.stderr
+
+
+def test_bench_cli_modes_smoke(tmp_path):
+    """The eval / fed-step / loader bench modes each print exactly one JSON
+    line with the contract keys (VERDICT r1 tasks 3-4)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runs = [
+        ["--mode", "eval", "--batch-size", "8", "--n-cls", "4",
+         "--steps", "2"],
+        ["--mode", "fed-step", "--batch-size", "8", "--n-cls", "4",
+         "--steps", "2", "--no-captions"],
+        ["--mode", "loader", "--batch-size", "8", "--n-cls", "4",
+         "--loader-images", "24"],
+    ]
+    for extra in runs:
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py"), "--platform",
+             "cpu", "--backbone", "Tiny", "--depth", "3", "--attention",
+             "xla"] + extra,
+            capture_output=True, text=True, timeout=420,
+        )
+        assert out.returncode == 0, (extra, out.stderr[-2000:])
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        assert len(lines) == 1, (extra, out.stdout)
+        rec = json.loads(lines[0])
+        assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+        assert rec["value"] > 0

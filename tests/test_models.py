@@ -391,3 +391,67 @@ def test_vision_tower_matches_torch():
         encode_image(params["visual"], cfg, jnp.asarray(imgs))
     )
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_text_sequence_packing_is_exact(tiny):
+    """Sequence packing (P prompts per 128-token attention row, block-
+    diagonal causal mask) must produce the same features as the unpacked
+    path — including deep prompt injection and a sequence count that does
+    not divide the pack factor."""
+    cfg, params = tiny
+    rng = np.random.default_rng(21)
+    d = cfg.transformer_width
+    for n_cls in (4, 7, 37):  # 37: padding path (P=8 over T=16)
+        prompts = rng.standard_normal((n_cls, 16, d)).astype(np.float32)
+        eot = jnp.asarray(rng.integers(2, 16, n_cls).astype(np.int32))
+        deep = [rng.standard_normal((2, d)).astype(np.float32)]
+        unpacked = encode_text_embedded(
+            params["text"], cfg, jnp.asarray(prompts), eot,
+            deep_prompts=[jnp.asarray(p) for p in deep], pack=False,
+        )
+        packed = encode_text_embedded(
+            params["text"], cfg, jnp.asarray(prompts), eot,
+            deep_prompts=[jnp.asarray(p) for p in deep], pack=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed), np.asarray(unpacked), atol=2e-5, rtol=2e-5,
+            err_msg=f"n_cls={n_cls}",
+        )
+
+
+def test_text_packing_grads_match_unpacked(tiny):
+    """Gradients w.r.t. prompts and deep prompts are unchanged by packing
+    (the training path runs packed)."""
+    cfg, params = tiny
+    rng = np.random.default_rng(22)
+    d = cfg.transformer_width
+    prompts = jnp.asarray(
+        rng.standard_normal((6, 16, d)).astype(np.float32))
+    eot = jnp.asarray(rng.integers(2, 16, 6).astype(np.int32))
+    deep = jnp.asarray(rng.standard_normal((2, d)).astype(np.float32))
+
+    def loss(prompts, deep, pack):
+        out = encode_text_embedded(
+            params["text"], cfg, prompts, eot, deep_prompts=[deep],
+            pack=pack)
+        return jnp.sum(out ** 2)
+
+    g_u = jax.grad(loss, argnums=(0, 1))(prompts, deep, False)
+    g_p = jax.grad(loss, argnums=(0, 1))(prompts, deep, True)
+    for a, b in zip(g_p, g_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_build_block_causal_mask_structure():
+    from federated_multi_modal_tpu.ops.primitives import (
+        build_block_causal_mask,
+    )
+
+    m = np.asarray(build_block_causal_mask(2, 3))
+    assert m.shape == (6, 6)
+    # within-block causal: (1,0) visible, (0,1) masked
+    assert m[1, 0] == 0.0 and m[0, 1] == -np.inf
+    # cross-block: always masked, both directions
+    assert m[3, 2] == -np.inf and m[2, 3] == -np.inf
+    assert (np.diag(m) == 0.0).all()
