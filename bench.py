@@ -249,6 +249,189 @@ def run_fed_step(args):
     )
 
 
+def run_cocoop(args):
+    """CoCoOp training throughput.  The rebuild's central claim is that the
+    reference's per-image text-encoder loop (``trainers/cocoop.py:184-192``,
+    the bottleneck forcing ``BATCH_SIZE: 1``) becomes ONE batched
+    ``(B * n_cls)`` text pass.  ``--cocoop-loop`` measures the loop
+    formulation (reference-style, ``lax.scan`` over images) for the
+    ablation; both are the same math (tests/test_reference_golden.py proves
+    equivalence against the executed reference)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from federated_multi_modal_tpu.models.clip_model import (
+        encode_image,
+        encode_text_embedded,
+    )
+    from federated_multi_modal_tpu.models.params import (
+        BACKBONE_CONFIGS,
+        init_clip_params,
+    )
+    from federated_multi_modal_tpu.ops.preprocess import (
+        crop_resize_flip_normalize,
+        sample_rrc_boxes_jax,
+    )
+    from federated_multi_modal_tpu.ops.primitives import (
+        l2_normalize,
+        set_attention_impl,
+    )
+    from federated_multi_modal_tpu.trainers.common import (
+        apply_linear,
+        build_prompt_constants,
+        ctx_init_vectors,
+        linear_params,
+    )
+
+    set_attention_impl(args.attention)
+    arch = BACKBONE_CONFIGS[args.backbone]
+    out_size = arch.image_resolution
+    n_cls = args.n_cls
+    classnames = [f"class {i}" for i in range(n_cls)]
+    key = jax.random.PRNGKey(0)
+    clip_params = init_clip_params(arch, key)
+    n_ctx = 4
+    const = build_prompt_constants(
+        clip_params["text"], classnames, "X X X X", n_ctx
+    )
+    ctx_dim = arch.transformer_width
+    vis_dim = arch.embed_dim
+    k_ctx, k1, k2 = jax.random.split(key, 3)
+    trainable = {
+        "ctx": jax.random.normal(k_ctx, (n_ctx, ctx_dim)) * 0.02,
+        "meta_net": {
+            "linear1": linear_params(k1, vis_dim, vis_dim // 16),
+            "linear2": linear_params(k2, vis_dim // 16, ctx_dim),
+        },
+    }
+    frozen = {
+        "clip": clip_params,
+        "prefix": const.token_prefix,
+        "suffix": const.token_suffix,
+        "eot": const.eot_index,
+    }
+    text_len = const.text_len
+    loop = bool(args.cocoop_loop)
+
+    def per_image_text(pl, frozen, ctx_shift_i):
+        """(n_cls,) text features for ONE image's shifted ctx — the
+        reference loop body (``trainers/cocoop.py:184-192``)."""
+        prefix, suffix = frozen["prefix"], frozen["suffix"]
+        ctx_i = jnp.broadcast_to(
+            ctx_shift_i[None].astype(prefix.dtype),
+            (n_cls, n_ctx, ctx_dim),
+        )
+        prompts = jnp.concatenate([prefix, ctx_i, suffix], axis=1)
+        txt = encode_text_embedded(
+            frozen["clip"]["text"], arch, prompts, frozen["eot"],
+            max_len=text_len,
+        )
+        return l2_normalize(txt)
+
+    def logits_fn(trainable, frozen, images):
+        img = encode_image(frozen["clip"]["visual"], arch, images)
+        img_n = l2_normalize(img)
+        h = jax.nn.relu(apply_linear(trainable["meta_net"]["linear1"], img_n))
+        bias = apply_linear(trainable["meta_net"]["linear2"], h)
+        ctx_shift = trainable["ctx"][None] + bias[:, None, :]  # (B,n_ctx,d)
+        scale = jnp.exp(frozen["clip"]["logit_scale"].astype(jnp.float32))
+        if loop:
+            # one text encode per image, like the reference loop.  The map
+            # body is rematerialized: keeping every iteration's activations
+            # for the backward OOMs 16G HBM at batch 32 (this FAVORS the
+            # loop — the batched pass needs no remat)
+            body = jax.checkpoint(
+                lambda c: per_image_text(trainable, frozen, c)
+            )
+            txt_n = jax.lax.map(body, ctx_shift)  # (B, n_cls, E)
+            return scale * jnp.einsum("bd,bcd->bc", img_n, txt_n)
+        B = images.shape[0]
+        prefix = jnp.broadcast_to(
+            frozen["prefix"][None], (B,) + frozen["prefix"].shape
+        )
+        suffix = jnp.broadcast_to(
+            frozen["suffix"][None], (B,) + frozen["suffix"].shape
+        )
+        ctx_b = jnp.broadcast_to(
+            ctx_shift[:, None].astype(prefix.dtype),
+            (B, n_cls, n_ctx, ctx_dim),
+        )
+        prompts = jnp.concatenate([prefix, ctx_b, suffix], axis=2)
+        prompts = prompts.reshape(B * n_cls, arch.context_length, ctx_dim)
+        eot = jnp.tile(frozen["eot"], B)
+        txt = encode_text_embedded(
+            frozen["clip"]["text"], arch, prompts, eot, max_len=text_len,
+        )
+        txt_n = l2_normalize(txt).reshape(B, n_cls, -1)
+        return scale * jnp.einsum("bd,bcd->bc", img_n, txt_n)
+
+    def loss_fn(trainable, frozen, batch):
+        logits = logits_fn(trainable, frozen, batch["image"])
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["label"]
+        ).mean()
+
+    from federated_multi_modal_tpu.config import get_cfg_default
+    from federated_multi_modal_tpu.engine.optim import build_optimizer
+
+    ocfg = get_cfg_default()
+    ocfg.OPTIM.LR = 0.002
+    tx = build_optimizer(ocfg.OPTIM)
+    opt_state = tx.init(trainable)
+
+    B = args.batch_size
+    rng = np.random.default_rng(0)
+    canvas = jnp.asarray(rng.integers(0, 255, (B, 256, 256, 3), np.uint8))
+    labels = jnp.asarray(rng.integers(0, n_cls, B), jnp.int32)
+
+    def run(trainable, opt_state, key, canvas, frozen):
+        def body(carry, _):
+            trainable, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            boxes, flips = sample_rrc_boxes_jax(sub, B)
+            images = crop_resize_flip_normalize(
+                canvas, boxes, flips, out_size=out_size
+            )
+
+            def wrapped(tr):
+                return loss_fn(tr, frozen, {"image": images, "label": labels})
+
+            loss, grads = jax.value_and_grad(wrapped)(trainable)
+            updates, new_os = tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return (trainable, new_os, key), loss
+
+        (trainable, opt_state, _), losses = jax.lax.scan(
+            body, (trainable, opt_state, key), length=args.steps
+        )
+        return trainable, opt_state, losses[-1]
+
+    runner = jax.jit(run, donate_argnums=(0, 1))
+    key = jax.random.PRNGKey(1)
+    trainable, opt_state, loss = runner(
+        trainable, opt_state, key, canvas, frozen
+    )
+    jax.device_get(loss)  # warmup
+    t0 = time.time()
+    trainable, opt_state, loss = runner(
+        trainable, opt_state, key, canvas, frozen
+    )
+    loss_val = float(jax.device_get(loss))
+    dt = time.time() - t0
+    ips = args.steps * B / dt
+    name = "cocoop_loop" if loop else "cocoop"
+    _emit(
+        f"{name}_train_images_per_sec_per_chip", ips,
+        f"mode=cocoop loop={loop} batch={B} n_cls={n_cls} "
+        f"steps={args.steps} wall={dt:.2f}s loss={loss_val:.4f} "
+        f"(vs_baseline is the multiple of the A100 MaPLe train rate; the "
+        f"reference's CoCoOp configs force BATCH_SIZE 1 around this loop)",
+    )
+
+
 def _ensure_jpeg_corpus(n_images: int, width: int, height: int) -> list:
     """Write a deterministic synthetic JPEG corpus once (low-frequency
     noise -> realistic decode cost), return the file list."""
@@ -330,7 +513,10 @@ def run_loader(args):
     opt_state = tx.init(prog["trainable"])
     frozen = prog["frozen"]
 
-    def one_step(trainable, opt_state, canvas, boxes, flips, labels):
+    # frozen must be an ARGUMENT, not a closure: baking the ViT-B/16 params
+    # into the HLO as constants blows the remote-compile HTTP limit (413;
+    # CLAUDE.md)
+    def one_step(trainable, opt_state, frozen, canvas, boxes, flips, labels):
         images = crop_resize_flip_normalize(
             canvas, boxes, flips, out_size=out_size
         )
@@ -348,6 +534,24 @@ def run_loader(args):
 
     step = jax.jit(one_step, donate_argnums=(0, 1))
     trainable = prog["trainable"]
+    # AOT-compile before timing so the "cold" epoch measures decode, not
+    # XLA compilation (drop_last=True keeps every batch at exactly B)
+    S = tfm.canvas
+
+    def sds(t):
+        return jax.tree_util.tree_map(
+            lambda a: None if a is None
+            else jax.ShapeDtypeStruct(a.shape, a.dtype),
+            t, is_leaf=lambda x: x is None,
+        )
+
+    step = step.lower(
+        sds(trainable), sds(opt_state), sds(frozen),
+        jax.ShapeDtypeStruct((B, S, S, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((B, 4), jnp.float32),
+        jax.ShapeDtypeStruct((B,), jnp.bool_),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    ).compile()
     epochs = {}
     loss = None
     for epoch in (1, 2):
@@ -355,7 +559,7 @@ def run_loader(args):
         n = 0
         for b in loader:
             trainable, opt_state, loss = step(
-                trainable, opt_state,
+                trainable, opt_state, frozen,
                 jnp.asarray(b["canvas"]), jnp.asarray(b["box"]),
                 jnp.asarray(b["flip"]), jnp.asarray(b["label"]),
             )
@@ -407,16 +611,21 @@ def main():
                              "XLA_FLAGS=--xla_force_host_platform_device_"
                              "count=8 to exercise the data-parallel path)")
     parser.add_argument("--mode",
-                        choices=["train", "eval", "fed-step", "loader"],
+                        choices=["train", "eval", "fed-step", "loader",
+                                 "cocoop"],
                         default="train",
                         help="train = jitted train step (driver default); "
                              "eval = prompt-cached eval fast path; "
                              "fed-step = SPMD parallel federated step; "
                              "loader = end-to-end with the real input "
                              "pipeline (JPEG corpus -> native codec -> "
-                             "prefetch -> device)")
+                             "prefetch -> device); cocoop = batched "
+                             "conditional-prompt trainer")
     parser.add_argument("--loader-images", type=int, default=2048,
                         help="synthetic JPEG corpus size for --mode loader")
+    parser.add_argument("--cocoop-loop", action="store_true",
+                        help="cocoop mode: reference-style per-image text "
+                             "encoding loop instead of the batched pass")
     args = parser.parse_args()
 
     import jax
@@ -429,6 +638,8 @@ def main():
         return run_fed_step(args)
     if args.mode == "loader":
         return run_loader(args)
+    if args.mode == "cocoop":
+        return run_cocoop(args)
     import jax.numpy as jnp
 
     from federated_multi_modal_tpu.flagship import build_maple_program

@@ -133,6 +133,10 @@ def test_bench_cli_modes_smoke(tmp_path):
          "--steps", "2", "--no-captions"],
         ["--mode", "loader", "--batch-size", "8", "--n-cls", "4",
          "--loader-images", "24"],
+        ["--mode", "cocoop", "--batch-size", "4", "--n-cls", "4",
+         "--steps", "2"],
+        ["--mode", "cocoop", "--cocoop-loop", "--batch-size", "4",
+         "--n-cls", "4", "--steps", "2"],
     ]
     for extra in runs:
         out = subprocess.run(

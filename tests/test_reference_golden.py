@@ -502,3 +502,74 @@ def test_cocoop_batched_equals_reference_loop(ref):
 
     np.testing.assert_allclose(np.asarray(logits), logits_ref,
                                atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# ModifiedResNet tower + plain CLIP.forward, executed from the reference
+# ---------------------------------------------------------------------------
+
+
+def test_resnet_tower_and_clip_forward_match_reference(ref):
+    """RN path: construct the reference CLIP with a tuple vision_layers
+    (ModifiedResNet + AttentionPool2d), round-trip its state dict through
+    the reference's own build_model (shape inference for ResNet,
+    clip/model.py:763-771), convert, and compare encode_image /
+    encode_text / the full CLIP.forward logits."""
+    from federated_multi_modal_tpu.models.clip_model import (
+        cosine_logits,
+        encode_image_auto,
+    )
+    from federated_multi_modal_tpu.ops.primitives import l2_normalize
+
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    torch.manual_seed(21)
+    with fp32_reference():
+        built = ref.model.CLIP(
+            64,            # embed_dim
+            64,            # image_resolution
+            (1, 1, 1, 1),  # vision_layers (tuple -> ModifiedResNet)
+            32,            # vision_width
+            None,          # vision_patch_size
+            16,            # context_length
+            100,           # vocab_size
+            64,            # transformer_width
+            1,             # transformer_heads
+            2,             # transformer_layers
+            design,
+        ).float().eval()
+        sd = {k: v.detach().clone() for k, v in built.state_dict().items()}
+        model = ref.model.build_model(
+            {k: v.clone() for k, v in sd.items()}, design).float().eval()
+
+    cfg = infer_config_from_state_dict(sd)
+    assert cfg.vision_layers == (1, 1, 1, 1)
+    assert not cfg.is_vit
+    assert cfg.image_resolution == 64
+    params = convert_torch_state_dict(sd, cfg, dtype_policy=False)
+
+    rng = np.random.default_rng(23)
+    imgs = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    toks = _rand_tokens(rng, 3, 16, 100)
+    with fp32_reference(), torch.no_grad():
+        img_ref = model.encode_image(
+            torch.from_numpy(imgs).permute(0, 3, 1, 2)).numpy()
+        txt_ref = model.encode_text(torch.from_numpy(toks)).numpy()
+        li_ref, lt_ref = model(torch.from_numpy(imgs).permute(0, 3, 1, 2),
+                               torch.from_numpy(toks))
+
+    img_got = np.asarray(
+        encode_image_auto(params["visual"], cfg, jnp.asarray(imgs)))
+    txt_got = np.asarray(encode_text_tokens(
+        params["text"], cfg, jnp.asarray(toks.astype(np.int32))))
+    np.testing.assert_allclose(img_got, img_ref, atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(txt_got, txt_ref, atol=ATOL, rtol=RTOL)
+
+    # full CLIP.forward contract: normalized cosine logits both directions
+    # (reference clip/model.py:709-723; logit_scale.exp(), no clamp hit)
+    logits = np.asarray(cosine_logits(
+        jnp.asarray(img_got), jnp.asarray(txt_got),
+        jnp.asarray(float(sd["logit_scale"]))))
+    np.testing.assert_allclose(logits, li_ref.numpy(), atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(logits.T, lt_ref.numpy(), atol=2e-3,
+                               rtol=2e-3)
