@@ -316,7 +316,7 @@ def run_cocoop(args):
     text_len = const.text_len
     loop = bool(args.cocoop_loop)
 
-    def per_image_text(pl, frozen, ctx_shift_i):
+    def per_image_text(frozen, ctx_shift_i):
         """(n_cls,) text features for ONE image's shifted ctx — the
         reference loop body (``trainers/cocoop.py:184-192``)."""
         prefix, suffix = frozen["prefix"], frozen["suffix"]
@@ -343,9 +343,7 @@ def run_cocoop(args):
             # body is rematerialized: keeping every iteration's activations
             # for the backward OOMs 16G HBM at batch 32 (this FAVORS the
             # loop — the batched pass needs no remat)
-            body = jax.checkpoint(
-                lambda c: per_image_text(trainable, frozen, c)
-            )
+            body = jax.checkpoint(lambda c: per_image_text(frozen, c))
             txt_n = jax.lax.map(body, ctx_shift)  # (B, n_cls, E)
             return scale * jnp.einsum("bd,bcd->bc", img_n, txt_n)
         B = images.shape[0]
@@ -496,9 +494,15 @@ def run_loader(args):
         sampler_type="RandomSampler",
     )
 
-    # host-only rate: drain one epoch without touching the device
+    # host-only decode rate, measured on a SEPARATE uncached loader so the
+    # main loader's first timed epoch is genuinely cold (decode-bound) —
+    # draining the cached loader here would pre-fill its canvas cache
+    host_loader = DataLoader(
+        data, batch_size=B, transform=tfm, is_train=True,
+        sampler_type="RandomSampler", cache_decoded=False,
+    )
     t0 = time.time()
-    n_host = sum(len(b["label"]) for b in loader)
+    n_host = sum(len(b["label"]) for b in host_loader)
     host_ips = n_host / (time.time() - t0)
 
     prog = build_maple_program(
@@ -566,8 +570,9 @@ def run_loader(args):
             n += len(b["label"])
         loss_val = float(jax.device_get(loss))  # sync the epoch
         epochs[epoch] = n / (time.time() - t0)
-    # epoch 1 includes compile; epoch 2 is the steady state (canvas cache
-    # warm, device pipelined behind the loader thread)
+    # epoch 1 is cold (JPEG decode in the loop; the step is AOT-compiled
+    # above); epoch 2 is the steady state (canvas cache warm, device
+    # pipelined behind the loader thread)
     _emit(
         "maple_loader_e2e_images_per_sec_per_chip", epochs[2],
         f"mode=loader batch={B} images={n_img} host_only={host_ips:.1f} "
@@ -780,18 +785,11 @@ def main():
         dt = time.time() - t0
 
     ips = args.steps * B / dt / n_dev
-    result = {
-        "metric": "maple_train_images_per_sec_per_chip",
-        "value": round(ips, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips / A100_BASELINE_IPS, 2),
-    }
-    print(json.dumps(result))
-    print(
-        f"# batch={B} n_cls={args.n_cls} steps={args.steps} "
+    _emit(
+        "maple_train_images_per_sec_per_chip", ips,
+        f"batch={B} n_cls={args.n_cls} steps={args.steps} "
         f"dispatch={args.dispatch} devices={n_dev} wall={dt:.2f}s "
         f"loss={loss_val:.4f} device={jax.devices()[0]}",
-        file=sys.stderr,
     )
 
 

@@ -153,6 +153,11 @@ class DataLoader:
         # and iteration must share one plan)
         self._plan: Optional[list] = None
         self._stop_worker: Optional[threading.Event] = None
+        # serializes every use of self.rng: _index_batches (consumer thread,
+        # via __len__/_next_plan/__iter__) vs transform.sample_params (the
+        # prefetch worker inside _make_batch).  A lock — not a worker reap —
+        # so that len(loader) during a live epoch stays non-destructive.
+        self._rng_lock = threading.Lock()
 
     def _structured(self) -> bool:
         return self.sampler_type in (
@@ -161,12 +166,11 @@ class DataLoader:
 
     def _reap_worker(self) -> None:
         """Stop and join an abandoned prefetch worker from a previous,
-        partially consumed epoch BEFORE touching the rng/cache it shares
-        with us (the worker calls ``transform.sample_params(self.rng, ...)``
-        inside ``_make_batch``; ``_index_batches`` uses the same generator,
-        so both ``__iter__`` and ``__len__``/``_next_plan`` must reap
-        first).  A consumer that bails mid-epoch — e.g. a NaN hard-raise —
-        would otherwise leave the old thread racing this call's sampling."""
+        partially consumed epoch (a consumer that bails mid-epoch — e.g. a
+        NaN hard-raise — would otherwise leave the old thread running).
+        Called only from ``__iter__``: rng safety against a still-live
+        worker is provided by ``_rng_lock``, so ``__len__`` stays
+        non-destructive during an active epoch."""
         if self._stop_worker is not None:
             self._stop_worker.set()
             self._stop_worker = None
@@ -176,8 +180,8 @@ class DataLoader:
 
     def _next_plan(self) -> list:
         if self._plan is None:
-            self._reap_worker()
-            self._plan = self._index_batches()
+            with self._rng_lock:
+                self._plan = self._index_batches()
         return self._plan
 
     def __len__(self):
@@ -276,7 +280,10 @@ class DataLoader:
                 canvas = np.stack(
                     self._decode_many([it.impath for it in items])
                 )
-            boxes, flips = self.transform.sample_params(self.rng, len(items))
+            with self._rng_lock:
+                boxes, flips = self.transform.sample_params(
+                    self.rng, len(items)
+                )
             batch.update(canvas=canvas, box=boxes, flip=flips)
         else:
             imgs = np.stack([self.transform(it.impath) for it in items])

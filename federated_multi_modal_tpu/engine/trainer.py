@@ -433,7 +433,7 @@ class TrainerBase:
                     # wrong slots (e.g. an LR hyperparam landing in a
                     # momentum leaf) — require per-leaf shape agreement too
                     shapes_match = structure.num_leaves == len(leaves) and all(
-                        jnp.shape(jnp.asarray(s)) == jnp.shape(c)
+                        tuple(np.shape(s)) == tuple(np.shape(c))
                         for s, c in zip(leaves, cur_leaves)
                     )
                     if shapes_match:

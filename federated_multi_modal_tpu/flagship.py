@@ -29,6 +29,7 @@ from federated_multi_modal_tpu.trainers.common import build_prompt_constants
 from federated_multi_modal_tpu.trainers.maple import (
     caption_tokens_to_extra,
     init_maple_prompt_learner,
+    make_maple_eval_fns,
     maple_prompts,
     maple_trainable_predicate,
 )
@@ -127,39 +128,11 @@ def build_maple_program(
         alignment = 1.0 - jnp.sum(img_n * txt_sel, axis=-1).mean()
         return loss + align_lambda * alignment, {}
 
-    # eval fast path (mirrors MaPLe.eval_prepare_fn/eval_apply_fn): the
-    # prompts/text features are image-independent, so evaluation computes
-    # them ONCE and then runs image batches against the cached features —
-    # the reference recomputes the whole text tower per eval batch
-    # (trainers/maple.py:674)
-    def eval_prepare_fn(trainable, frozen):
-        m = merge_trees(trainable, frozen["model"])
-        pc = frozen["prompt_const"]
-        prompts, shared_ctx, text_deep, vis_deep = maple_prompts(
-            m["prompt_learner"], pc["token_prefix"], pc["token_suffix"], depth
-        )
-        txt = encode_text_embedded(
-            m["clip"]["text"], arch, prompts, pc["eot_index"],
-            deep_prompts=text_deep, max_len=text_len,
-        )
-        scale = jnp.clip(
-            jnp.exp(m["clip"]["logit_scale"].astype(jnp.float32)), None, 100.0
-        )
-        return {
-            "txt_n": l2_normalize(txt),
-            "shared_ctx": shared_ctx,
-            "vis_deep": vis_deep,
-            "scale": scale,
-        }
-
-    def eval_apply_fn(trainable, frozen, images, prep):
-        m = merge_trees(trainable, frozen["model"])
-        img = encode_image(
-            m["clip"]["visual"], arch, images,
-            shallow_prompts=prep["shared_ctx"],
-            deep_prompts=prep["vis_deep"],
-        )
-        return prep["scale"] * l2_normalize(img) @ prep["txt_n"].T
+    # eval fast path: one shared implementation with the MaPLe trainer
+    # (prompt-cached text features; trainers/maple.py::make_maple_eval_fns)
+    eval_prepare_fn, eval_apply_fn = make_maple_eval_fns(
+        arch, depth, text_len
+    )
 
     return {
         "arch": arch,

@@ -163,6 +163,47 @@ def maple_prompts(pl: dict, prefix, suffix, depth: int):
     return prompts, shared_ctx, text_deep, vis_deep
 
 
+def make_maple_eval_fns(arch, depth: int, text_len: int):
+    """Prompt-cached eval fast path, shared by the MaPLe trainer and the
+    flagship bench program: the prompts/text features are image-independent,
+    so evaluation computes them ONCE (``eval_prepare_fn``) and runs image
+    batches against the cached features (``eval_apply_fn``) — the reference
+    recomputes the whole text tower per eval batch (``trainers/maple.py:
+    674``).  Both callers share the ``{"model", "prompt_const"}`` frozen
+    layout."""
+
+    def eval_prepare_fn(trainable, frozen):
+        m = merge_trees(trainable, frozen["model"])
+        pc = frozen["prompt_const"]
+        prompts, shared_ctx, text_deep, vis_deep = maple_prompts(
+            m["prompt_learner"], pc["token_prefix"], pc["token_suffix"], depth
+        )
+        txt = encode_text_embedded(
+            m["clip"]["text"], arch, prompts, pc["eot_index"],
+            deep_prompts=text_deep, max_len=text_len,
+        )
+        scale = jnp.clip(
+            jnp.exp(m["clip"]["logit_scale"].astype(jnp.float32)), None, 100.0
+        )
+        return {
+            "txt_n": l2_normalize(txt),
+            "shared_ctx": shared_ctx,
+            "vis_deep": vis_deep,
+            "scale": scale,
+        }
+
+    def eval_apply_fn(trainable, frozen, images, prep):
+        m = merge_trees(trainable, frozen["model"])
+        img = encode_image(
+            m["clip"]["visual"], arch, images,
+            shallow_prompts=prep["shared_ctx"],
+            deep_prompts=prep["vis_deep"],
+        )
+        return prep["scale"] * l2_normalize(img) @ prep["txt_n"].T
+
+    return eval_prepare_fn, eval_apply_fn
+
+
 def caption_tokens_to_extra(pl: dict, text_params, caption_tokens):
     """Pool frozen caption embeddings into one 768-d token per image."""
     emb = jax.lax.stop_gradient(
@@ -363,40 +404,9 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
             )
             return total, {"acc": acc * 100.0, "align": alignment}
 
-        # eval fast path: prompts/text features are image-independent, so
-        # compute them once per evaluation instead of per batch (the
-        # reference recomputes them every eval batch, trainers/maple.py:674)
-        def eval_prepare_fn(trainable, frozen):
-            m = full_model(trainable, frozen)
-            pc = frozen["prompt_const"]
-            prompts, shared_ctx, text_deep, vis_deep = maple_prompts(
-                m["prompt_learner"], pc["token_prefix"], pc["token_suffix"], depth
-            )
-            txt = encode_text_embedded(
-                m["clip"]["text"], arch, prompts, pc["eot_index"],
-                deep_prompts=text_deep, max_len=const.text_len,
-            )
-            scale = jnp.clip(
-                jnp.exp(m["clip"]["logit_scale"].astype(jnp.float32)), None, 100.0
-            )
-            return {
-                "txt_n": l2_normalize(txt),
-                "shared_ctx": shared_ctx,
-                "vis_deep": vis_deep,
-                "scale": scale,
-            }
-
-        def eval_apply_fn(trainable, frozen, images, prep):
-            m = full_model(trainable, frozen)
-            img = encode_image(
-                m["clip"]["visual"], arch, images,
-                shallow_prompts=prep["shared_ctx"],
-                deep_prompts=prep["vis_deep"],
-            )
-            return prep["scale"] * l2_normalize(img) @ prep["txt_n"].T
-
-        self.eval_prepare_fn = eval_prepare_fn
-        self.eval_apply_fn = eval_apply_fn
+        self.eval_prepare_fn, self.eval_apply_fn = make_maple_eval_fns(
+            arch, depth, const.text_len
+        )
 
         self.logits_fn = logits_fn
         self.loss_fn = loss_fn

@@ -425,3 +425,35 @@ def test_duplicate_chunk_indices_cache_once():
         pass
     assert len(calls) == len(set(calls))  # no duplicate decodes
     assert loader._cache_bytes == len(loader._canvas_cache) * 48
+
+
+def test_len_during_live_epoch_is_nondestructive():
+    """len(loader) while an epoch is being consumed must not stop the
+    prefetch worker or truncate the epoch (rng safety comes from the
+    internal lock, not from reaping the worker)."""
+    from federated_multi_modal_tpu.data.datum import Datum
+    from federated_multi_modal_tpu.data.loader import DataLoader
+
+    class FakeDeviceTransform:
+        mode = "device"
+
+        def __call__(self, impath):
+            return np.zeros((4, 4, 3), np.uint8)
+
+        def sample_params(self, rng, n):
+            return rng.random((n, 4)).astype(np.float32), np.zeros(n, bool)
+
+    items = [
+        Datum(impath=f"i{i}", label=i % 4, classname="a") for i in range(64)
+    ]
+    for sampler in ("RandomSampler", "RandomClassSampler"):
+        loader = DataLoader(
+            items, batch_size=8, transform=FakeDeviceTransform(),
+            is_train=True, prefetch_depth=2, sampler_type=sampler, n_ins=2,
+        )
+        n_batches = len(loader)
+        it = iter(loader)
+        got = [next(it)]
+        assert len(loader) == n_batches  # mid-epoch len()
+        got.extend(it)
+        assert len(got) == n_batches, sampler
