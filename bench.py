@@ -631,12 +631,19 @@ def main():
     parser.add_argument("--cocoop-loop", action="store_true",
                         help="cocoop mode: reference-style per-image text "
                              "encoding loop instead of the batched pass")
+    parser.add_argument("--no-pack", action="store_true",
+                        help="disable text-tower sequence packing "
+                             "(ablation; cfg equivalent TPU.TEXT_PACK)")
     args = parser.parse_args()
 
     import jax
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.no_pack:
+        from federated_multi_modal_tpu.models.clip_model import set_text_pack
+
+        set_text_pack(False)
     if args.mode == "eval":
         return run_eval(args)
     if args.mode == "fed-step":

@@ -230,6 +230,10 @@ def get_cfg_default() -> CN:
     # vision shapes), XLA elsewhere; "pallas"/"xla" force one implementation
     cfg.TPU.ATTENTION_IMPL = "auto"
     cfg.TPU.REMAT = False  # rematerialize blocks (bigger batches)
+    # sequence-pack short text prompts (128 // T per attention row under a
+    # block-diagonal causal mask; exact same per-sequence math) — 1.086x
+    # end-to-end on the MaPLe step at 1000 classes (docs/BENCH.md)
+    cfg.TPU.TEXT_PACK = True
     cfg.TPU.PREFETCH_DEPTH = 2
 
     return cfg

@@ -139,6 +139,9 @@ class TrainerBase:
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         set_attention_impl(impl)
+        from federated_multi_modal_tpu.models.clip_model import set_text_pack
+
+        set_text_pack(bool(getattr(cfg.TPU, "TEXT_PACK", True)))
 
         self._models: Dict[str, dict] = {}
 

@@ -192,6 +192,17 @@ def embed_tokens(params_text, tokens: jax.Array) -> jax.Array:
 # the math is identical up to fp accumulation order.
 TEXT_PACK_TARGET = 128
 
+# Module default for encode_text_embedded's ``pack=None`` (auto).  Set from
+# ``cfg.TPU.TEXT_PACK`` before the jitted programs trace — same pattern as
+# ops.primitives.set_attention_impl.  Measured 1.086x end-to-end on the
+# MaPLe step at 1000 classes on v5e (docs/BENCH.md).
+_TEXT_PACK_DEFAULT = True
+
+
+def set_text_pack(enabled: bool) -> None:
+    global _TEXT_PACK_DEFAULT
+    _TEXT_PACK_DEFAULT = bool(enabled)
+
 
 def encode_text_embedded(
     params,
@@ -231,7 +242,8 @@ def encode_text_embedded(
     x = prompts.astype(dtype) + pos.astype(dtype)[None]
 
     N, T, d = x.shape
-    P = TEXT_PACK_TARGET // T if (pack or pack is None) else 1
+    use_pack = _TEXT_PACK_DEFAULT if pack is None else pack
+    P = TEXT_PACK_TARGET // T if use_pack else 1
     deep_prompts = deep_prompts or []
     if P >= 2:
         G = -(-N // P)

@@ -195,26 +195,52 @@ def _auto_interpret(interpret):
     return jax.default_backend() == "cpu"
 
 
-def _packed_layout(B: int, T: int, D: int, n_head: int):
-    """Pick (GB, hp) or None if the packed kernels don't apply.
+def _packed_hp(D: int, n_head: int):
+    """Heads per 128-lane block, or None if the packed kernels don't apply.
 
     ``T`` not a multiple of 8 is handled by padding + in-kernel key
-    masking, so it does not gate eligibility.
-    """
+    masking, so it does not gate eligibility."""
     if not _PALLAS_OK or D % n_head:
         return None
     hd = D // n_head
     if 128 % hd:
         return None
-    hp = 128 // hd  # heads per 128-lane block
+    hp = 128 // hd
     if n_head % hp:
         return None
-    GB = 1
-    for g in (4, 2, 1):
-        if B % g == 0:
-            GB = g
-            break
-    return GB, hp
+    return hp
+
+
+def _pick_gb(B: int, Tp: int, dtype) -> int:
+    """Batch rows per grid step: the largest divisor of ``B`` whose
+    estimated per-step VMEM stays inside budget.
+
+    The backward kernel is the binding case: ~7 token blocks
+    (q, k, v, g, dq, dk, dv) of ``(GB, Tp, 128)``, double-buffered by the
+    Mosaic pipeline, plus ~3 fp32 score-sized ``(GB, Tp, Tp)``
+    temporaries.  GB=8 measured +1.7% end-to-end over GB=4 on the v5e
+    MaPLe step (bf16, Tp=200); fp32 shapes land back on GB<=4 via the
+    estimate.  ``FMM_TPU_PACKED_GB`` overrides the cap for experiments.
+    """
+    import os
+
+    cap = int(os.environ.get("FMM_TPU_PACKED_GB", "8"))
+    bytes_ = jnp.dtype(dtype).itemsize
+    budget = 12 << 20  # leave headroom under the ~16 MB VMEM
+    for g in range(cap, 0, -1):
+        if B % g:
+            continue
+        est = 7 * g * Tp * 128 * bytes_ * 2 + 3 * g * Tp * Tp * 4
+        if est <= budget:
+            return g
+    return 1
+
+
+def _packed_layout(B: int, T: int, D: int, n_head: int):
+    """Eligibility wrapper: (1, hp) or None (GB is chosen per-call by
+    :func:`_pick_gb`, which needs the dtype)."""
+    hp = _packed_hp(D, n_head)
+    return None if hp is None else (1, hp)
 
 
 def _key_mask(s, valid_T):
@@ -336,10 +362,10 @@ def attention_packed_fwd(qkv: jax.Array, n_head: int, interpret=None):
     B, T, D3 = qkv.shape
     D = D3 // 3
     hd = D // n_head
-    layout = _packed_layout(B, T, D, n_head)
-    assert layout is not None, (qkv.shape, n_head)
-    GB, hp = layout
+    hp = _packed_hp(D, n_head)
+    assert hp is not None, (qkv.shape, n_head)
     Tp = _round_up(T, 8)
+    GB = _pick_gb(B, Tp, qkv.dtype)
     qkv = _pad_tokens(qkv, Tp)
     bs = hp * hd
     Hb = D // bs
@@ -369,8 +395,10 @@ def attention_packed_bwd(qkv: jax.Array, g: jax.Array, n_head: int,
     B, T, D3 = qkv.shape
     D = D3 // 3
     hd = D // n_head
-    GB, hp = _packed_layout(B, T, D, n_head)
+    hp = _packed_hp(D, n_head)
+    assert hp is not None, (qkv.shape, n_head)
     Tp = _round_up(T, 8)
+    GB = _pick_gb(B, Tp, qkv.dtype)
     qkv = _pad_tokens(qkv, Tp)
     g = _pad_tokens(g, Tp)
     bs = hp * hd
@@ -443,10 +471,10 @@ def attention_packed_fwd_masked(qkv, attn_mask, n_head: int, interpret=None):
     B, T, D3 = qkv.shape
     D = D3 // 3
     hd = D // n_head
-    layout = _packed_layout(B, T, D, n_head)
-    assert layout is not None, (qkv.shape, n_head)
-    GB, hp = layout
+    hp = _packed_hp(D, n_head)
+    assert hp is not None, (qkv.shape, n_head)
     Tp = _round_up(T, 8)
+    GB = _pick_gb(B, Tp, qkv.dtype)
     qkv = _pad_tokens(qkv, Tp)
     mask = _padded_mask(attn_mask, T, Tp)
     bs = hp * hd
@@ -476,8 +504,10 @@ def attention_packed_bwd_masked(qkv, g, attn_mask, n_head: int,
     B, T, D3 = qkv.shape
     D = D3 // 3
     hd = D // n_head
-    GB, hp = _packed_layout(B, T, D, n_head)
+    hp = _packed_hp(D, n_head)
+    assert hp is not None, (qkv.shape, n_head)
     Tp = _round_up(T, 8)
+    GB = _pick_gb(B, Tp, qkv.dtype)
     qkv = _pad_tokens(qkv, Tp)
     g = _pad_tokens(g, Tp)
     mask = _padded_mask(attn_mask, T, Tp)
