@@ -634,6 +634,9 @@ def main():
     parser.add_argument("--no-pack", action="store_true",
                         help="disable text-tower sequence packing "
                              "(ablation; cfg equivalent TPU.TEXT_PACK)")
+    parser.add_argument("--fwd-only", action="store_true",
+                        help="train mode ablation: compute the loss only "
+                             "(no grad/update) to split fwd vs bwd cost")
     args = parser.parse_args()
 
     import jax
@@ -698,6 +701,9 @@ def main():
         def wrapped(tr):
             return loss_fn(tr, frozen, batch)
 
+        if args.fwd_only:
+            loss, _ = wrapped(trainable)
+            return trainable, opt_state, loss
         (loss, _), grads = jax.value_and_grad(wrapped, has_aux=True)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = jax.tree_util.tree_map(
