@@ -189,40 +189,30 @@ def run_fed_step(args):
         for k, v in batch_np.items()
     }
 
-    def one_client_step(trainable, opt_state, canvas, boxes, flips, labels,
-                        caption_tokens, frozen):
+    from federated_multi_modal_tpu.parallel import build_parallel_fed_step
+
+    def bench_loss(trainable, frozen, b):
+        """Preprocessing fused into the loss so the real
+        ``build_parallel_fed_step`` (NaN gate, C==1 unbatched fast path)
+        is what gets measured."""
         images = crop_resize_flip_normalize(
-            canvas, boxes, flips, out_size=out_size
+            b["canvas"], b["boxes"], b["flips"], out_size=out_size
         )
-        b = {"image": images, "label": labels}
-        if caption_tokens is not None:
-            b["caption_tokens"] = caption_tokens
+        bb = {"image": images, "label": b["label"]}
+        if "caption_tokens" in b:
+            bb["caption_tokens"] = b["caption_tokens"]
+        return loss_fn(trainable, frozen, bb)
 
-        def wrapped(tr):
-            return loss_fn(tr, frozen, b)
-
-        (loss, _), grads = jax.value_and_grad(wrapped, has_aux=True)(trainable)
-        updates, opt_state = tx.update(grads, opt_state, trainable)
-        trainable = jax.tree_util.tree_map(
-            lambda p, u: p if u is None else p + u,
-            trainable, updates, is_leaf=lambda x: x is None,
-        )
-        return trainable, opt_state, loss
-
-    cap_axis = 0 if use_captions else None
+    fed_step = build_parallel_fed_step(bench_loss, tx, mesh)
 
     def run(stacked, opt, key, batch, frozen):
         def body(carry, _):
             stacked, opt, key = carry
             key, sub = jax.random.split(key)
             boxes, flips = sample_rrc_boxes_jax(sub, C * Bc)
-            boxes = boxes.reshape(C, Bc, 4)
-            flips = flips.reshape(C, Bc)
-            stacked, opt, losses = jax.vmap(
-                one_client_step,
-                in_axes=(0, 0, 0, 0, 0, 0, cap_axis, None),
-            )(stacked, opt, batch["canvas"], boxes, flips, batch["label"],
-              batch.get("caption_tokens"), frozen)
+            b = dict(batch, boxes=boxes.reshape(C, Bc, 4),
+                     flips=flips.reshape(C, Bc))
+            stacked, opt, losses = fed_step(stacked, frozen, opt, b)
             return (stacked, opt, key), losses
 
         (stacked, opt, _), losses = jax.lax.scan(

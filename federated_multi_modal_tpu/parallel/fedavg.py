@@ -120,6 +120,32 @@ def build_parallel_fed_step(
         return trainable, opt_state, loss
 
     def step(stacked_trainable, frozen, stacked_opt_state, batch):
+        C = jax.tree_util.tree_leaves(stacked_trainable)[0].shape[0]
+        if C == 1:
+            # Single client: skip the vmap.  The size-1 batching dim is not
+            # free — it turns every activation matmul into a batched dot
+            # and every Pallas call into an extra grid dimension, measured
+            # ~10% end-to-end on a v5e (1177 vs 1301+ img/s at batch 512).
+            # This is also what each device computes when C == #devices on
+            # a client-axis mesh, so the plain graph is the honest shape.
+            def sq(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: None if x is None else x[0], tree,
+                    is_leaf=_is_none,
+                )
+
+            trainable, opt_state, loss = local_step(
+                sq(stacked_trainable), frozen, sq(stacked_opt_state),
+                sq(batch),
+            )
+
+            def ex(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: None if x is None else x[None], tree,
+                    is_leaf=_is_none,
+                )
+
+            return ex(trainable), ex(opt_state), loss[None]
         vstep = jax.vmap(local_step, in_axes=(0, None, 0, 0))
         stacked_trainable, stacked_opt_state, losses = vstep(
             stacked_trainable, frozen, stacked_opt_state, batch

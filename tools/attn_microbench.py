@@ -556,6 +556,8 @@ def run_block(args):
         return make
 
     def report(name, f, *extra, fb=True, carry=None):
+        if args.only and args.only != name and not name.startswith("null"):
+            return
         try:
             tf = timeit(chain(f, *extra, carry=carry))
             line = f"{name:12s} fwd {tf*1e3:8.2f} ms"
@@ -572,6 +574,7 @@ def run_block(args):
     if args.only == "patchify":
         _patchify_bench(args, arch, params, timeit, iters, key, B)
         return
+    skip_patchify = bool(args.only) and args.only != "patchify"
     report("null", lambda x: x * 1.0000001)
     report("null_fc", lambda x: x * 1.0000001, carry=x_fc)
     report("ln", lambda x, p: P.layer_norm(x, p), blk["ln_1"])
@@ -601,7 +604,8 @@ def run_block(args):
 
     report("inject", inject, prompt)
 
-    _patchify_bench(args, arch, params, timeit, iters, key, B)
+    if not skip_patchify:
+        _patchify_bench(args, arch, params, timeit, iters, key, B)
 
 
 def _patchify_bench(args, arch, params, timeit, iters, key, B):
