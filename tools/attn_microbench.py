@@ -594,6 +594,17 @@ def run_block(args):
 
     report("block12", twelve, blocks12)
 
+    def twelve_unrolled(x, bs):
+        """Python-unrolled like the real tower (encode_image loops blocks
+        in python); the scanned variant crashes the tunnel's remote
+        compiler, this one compiles."""
+        for i in range(12):
+            blk_i = jax.tree_util.tree_map(lambda a: a[i], bs)
+            x = P.residual_block(x, blk_i, H)
+        return x
+
+    report("block12u", twelve_unrolled, blocks12)
+
     prompt = (jax.random.normal(key, (2, D), jnp.float32) * 0.02).astype(
         jnp.bfloat16
     )
