@@ -235,5 +235,11 @@ def get_cfg_default() -> CN:
     # end-to-end on the MaPLe step at 1000 classes (docs/BENCH.md)
     cfg.TPU.TEXT_PACK = True
     cfg.TPU.PREFETCH_DEPTH = 2
+    # client-axis strategy for the parallel federated step: "shard_map"
+    # runs each client group's UNBATCHED step on its data shard with an
+    # explicit pmean over "data" (collectives ride ICI by construction);
+    # "vmap" batches the client axis and lets GSPMD partition it; "auto"
+    # picks shard_map on multi-device meshes when shapes divide evenly
+    cfg.TPU.FED_STEP_IMPL = "auto"
 
     return cfg

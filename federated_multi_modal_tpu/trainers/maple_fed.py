@@ -419,7 +419,10 @@ class MaPLeFederated(TrainerX):
         tx = client0.tx
         sched = client0.sched_fn
 
-        step = build_parallel_fed_step(client0.loss_fn, tx, mesh)
+        step = build_parallel_fed_step(
+            client0.loss_fn, tx, mesh,
+            impl=getattr(self.cfg.TPU, "FED_STEP_IMPL", "auto"),
+        )
 
         def shard(tree, spec):
             return jax.tree_util.tree_map(

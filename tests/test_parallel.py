@@ -96,6 +96,73 @@ def test_parallel_fed_step_runs_and_diverges():
     np.testing.assert_allclose(a0, (ctx0 + ctx1) / 2, atol=1e-6)
 
 
+def test_fed_step_impl_equivalence():
+    """The vmap and shard_map client-axis implementations must produce the
+    same losses, parameter updates, and optimizer state (same math, only
+    the partitioning strategy differs)."""
+    prog = build_maple_program(backbone="Tiny", depth=3, use_captions=False)
+    tx = build_fed_optimizer(lr=0.05)
+    mesh = make_client_mesh(2)
+    C = 2
+
+    def shard(tree, spec):
+        return jax.tree_util.tree_map(
+            lambda x: None if x is None
+            else jax.device_put(x, NamedSharding(mesh, spec)),
+            tree, is_leaf=lambda x: x is None,
+        )
+
+    # fp32 towers: per-shard-batch-1 vs batched-4 bf16 matmuls reorder
+    # accumulations enough to blur small gradient elements; in fp32 the
+    # two implementations must agree to tight tolerance
+    frozen32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if x is not None and jnp.issubdtype(x.dtype, jnp.floating) else x,
+        prog["frozen"], is_leaf=lambda x: x is None,
+    )
+    frozen = shard(frozen32, P())
+    b0 = example_batch(prog["arch"], batch_size=4, n_cls=prog["n_cls"],
+                       use_captions=False, seed=0)
+    b1 = example_batch(prog["arch"], batch_size=4, n_cls=prog["n_cls"],
+                       use_captions=False, seed=1)
+    batch = {
+        k: jax.device_put(
+            jnp.stack([b0[k], b1[k]]), NamedSharding(mesh, P("client", "data"))
+        )
+        for k in b0
+    }
+
+    outs = {}
+    for impl in ("vmap", "shard_map"):
+        # fresh state per impl: the jitted step donates its inputs
+        stacked = shard(stack_client_trees([prog["trainable"]] * C),
+                        P("client"))
+        opt = shard(stack_client_trees([tx.init(prog["trainable"])] * C),
+                    P("client"))
+        step = build_parallel_fed_step(prog["loss_fn"], tx, mesh, impl=impl)
+        s2, o2, losses = step(stacked, frozen, opt, batch)
+        outs[impl] = (
+            jax.device_get(losses),
+            jax.device_get(jax.tree_util.tree_leaves(s2)),
+            jax.device_get(jax.tree_util.tree_leaves(o2)),
+        )
+
+    lv, sv, ov = outs["vmap"]
+    ls, ss, os_ = outs["shard_map"]
+    np.testing.assert_allclose(lv, ls, rtol=1e-5, atol=1e-6)
+    assert len(sv) == len(ss) and len(ov) == len(os_)
+    for a, b in zip(sv, ss):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-3, atol=1e-6,  # fp32 accumulation-order noise only
+        )
+    for a, b in zip(ov, os_):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-3, atol=1e-6,  # fp32 accumulation-order noise only
+        )
+
+
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
     return tmp_path_factory.mktemp("dataroot")
