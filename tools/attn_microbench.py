@@ -556,7 +556,8 @@ def run_block(args):
         return make
 
     def report(name, f, *extra, fb=True, carry=None):
-        if args.only and args.only != name and not name.startswith("null"):
+        only = args.only.split(",") if args.only else []
+        if only and name not in only and not name.startswith("null"):
             return
         try:
             tf = timeit(chain(f, *extra, carry=carry))
@@ -571,10 +572,11 @@ def run_block(args):
     x_fc = (jax.random.normal(key, (B, T, 4 * D), jnp.float32) * 0.02).astype(
         jnp.bfloat16
     )
-    if args.only == "patchify":
+    only_list = args.only.split(",") if args.only else []
+    if only_list == ["patchify"]:
         _patchify_bench(args, arch, params, timeit, iters, key, B)
         return
-    skip_patchify = bool(args.only) and args.only != "patchify"
+    skip_patchify = bool(only_list) and "patchify" not in only_list
     report("null", lambda x: x * 1.0000001)
     report("null_fc", lambda x: x * 1.0000001, carry=x_fc)
     report("ln", lambda x, p: P.layer_norm(x, p), blk["ln_1"])
@@ -615,8 +617,97 @@ def run_block(args):
 
     report("inject", inject, prompt)
 
+    deep8 = (jax.random.normal(key, (8, 2, D), jnp.float32) * 0.02).astype(
+        jnp.bfloat16
+    )
+
+    def twelve_injected(x, bs, dp):
+        """block12u + the exact per-layer injection glue of the real tower
+        (``models/clip_model.py:143-150``): layers 1..8 slice the trailing
+        2 prompt tokens off and concat fresh ones.  block12i - block12u =
+        the in-situ injection cost; tower - block12i = the remaining
+        embed/LN/proj glue."""
+        for i in range(12):
+            if 1 <= i <= dp.shape[0]:
+                p = jnp.broadcast_to(dp[i - 1][None], (B,) + dp.shape[1:])
+                x = jnp.concatenate(
+                    [x[:, : T - p.shape[1]], p.astype(x.dtype)], axis=1
+                )
+            blk_i = jax.tree_util.tree_map(lambda a: a[i], bs)
+            x = P.residual_block(x, blk_i, H)
+        return x
+
+    report("block12i", twelve_injected, blocks12, deep8)
+
+    if not only_list or "tower" in only_list:
+        _tower_bench(args, arch, params, timeit, iters, key, B)
     if not skip_patchify:
         _patchify_bench(args, arch, params, timeit, iters, key, B)
+
+
+def _tower_bench(args, arch, params, timeit, iters, key, B):
+    """The real ``encode_image`` with MaPLe-style shallow+deep prompts,
+    fwd and fwd+prompt-bwd — measured in the SAME session as
+    block12u/block12i so the tower-vs-12x-block gap can be attributed
+    without cross-session tunnel drift (docs/BENCH.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from federated_multi_modal_tpu.models.clip_model import encode_image
+
+    D = arch.vision_width
+    res = arch.image_resolution
+    images = (jax.random.normal(key, (B, res, res, 3), jnp.float32)
+              * 0.5).astype(jnp.bfloat16)
+    vis = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+        params["visual"],
+    )
+    sp = (jax.random.normal(key, (2, D), jnp.float32) * 0.02).astype(
+        jnp.bfloat16
+    )
+    dp = (jax.random.normal(jax.random.fold_in(key, 7), (8, 2, D),
+                            jnp.float32) * 0.02).astype(jnp.bfloat16)
+
+    def fwd(imgs, vis, sp, dp):
+        return encode_image(vis, arch, imgs, shallow_prompts=sp,
+                            deep_prompts=[dp[i] for i in range(8)])
+
+    def make(fb):
+        def build():
+            def scan(c, vis, sp, dp):
+                def body(c, _):
+                    if fb:
+                        def loss(pr):
+                            s, d = pr
+                            f = fwd(c, vis, s, d).astype(jnp.float32)
+                            return 0.5 * (f * f).sum()
+
+                        gs, gd = jax.grad(loss)((sp, dp))
+                        out = gs.ravel()[0] + gd.ravel()[0]
+                    else:
+                        out = fwd(c, vis, sp, dp).ravel()[0]
+                    return (c * 0.9999
+                            + (out * 1e-30).astype(c.dtype)), ()
+
+                c, _ = jax.lax.scan(body, c, length=iters)
+                return c.ravel()[0].astype(jnp.float32)
+
+            return scan, images, (vis, sp, dp)
+
+        return build
+
+    try:
+        tf = timeit(make(False))
+        line = f"tower        fwd {tf*1e3:8.2f} ms"
+        if not args.fwd_only:
+            tb = timeit(make(True))
+            line += f" | fwd+bwd {tb*1e3:8.2f} ms"
+        print(line, flush=True)
+    except Exception as e:
+        print(f"tower FAILED: {type(e).__name__}: {str(e)[:120]}",
+              flush=True)
 
 
 def _patchify_bench(args, arch, params, timeit, iters, key, B):
@@ -687,7 +778,8 @@ def main():
     p.add_argument("--platform", choices=["default", "cpu"],
                    default="default")
     p.add_argument("--only", default="",
-                   help="block mode: run only the named sub-bench")
+                   help="block mode: run only the named sub-bench(es), "
+                        "comma-separated (e.g. block12u,block12i,tower)")
     args = p.parse_args()
     if args.platform == "cpu":
         import jax
