@@ -104,9 +104,6 @@ def _stub(name: str, **attrs):
 
 
 def _install_stubs():
-    if "dassl" in sys.modules:
-        return
-
     class _Registry:
         def register(self, cls=None):
             if cls is None:
@@ -117,21 +114,42 @@ def _install_stubs():
         def __init__(self, *a, **k):
             pass
 
-    dassl = _stub("dassl")
-    dassl.engine = _stub(
-        "dassl.engine", TRAINER_REGISTRY=_Registry(), TrainerX=_TrainerX
-    )
-    dassl.metrics = _stub("dassl.metrics", compute_accuracy=lambda *a, **k: [0.0])
-    dassl.utils = _stub(
-        "dassl.utils",
-        load_pretrained_weights=lambda *a, **k: None,
-        load_checkpoint=lambda *a, **k: {},
-    )
-    dassl.optim = _stub(
-        "dassl.optim",
-        build_optimizer=lambda *a, **k: None,
-        build_lr_scheduler=lambda *a, **k: None,
-    )
+    class _Datum:  # dassl.data.datasets.Datum (caption-patched fork shape)
+        def __init__(self, impath="", label=0, classname="", caption=None,
+                     domain=0):
+            self.impath, self.label = impath, label
+            self.classname, self.caption, self.domain = classname, caption, domain
+
+    if "dassl" not in sys.modules:
+        dassl = _stub("dassl")
+        dassl.engine = _stub(
+            "dassl.engine", TRAINER_REGISTRY=_Registry(), TrainerX=_TrainerX
+        )
+        dassl.metrics = _stub(
+            "dassl.metrics", compute_accuracy=lambda *a, **k: [0.0]
+        )
+        dassl.utils = _stub("dassl.utils")
+        dassl.optim = _stub(
+            "dassl.optim",
+            build_optimizer=lambda *a, **k: None,
+            build_lr_scheduler=lambda *a, **k: None,
+        )
+        dassl.data = _stub("dassl.data", DataManager=object, Datum=_Datum)
+        dassl.data.data_manager = _stub(
+            "dassl.data.data_manager",
+            build_transform=lambda *a, **k: None,
+            build_data_loader=lambda *a, **k: None,
+        )
+        dassl.data.datasets = _stub("dassl.data.datasets", Datum=_Datum)
+    # (re)set utils attrs so later harness extensions in the same process
+    # see every helper the reference files import
+    for name, fn in (
+        ("load_pretrained_weights", lambda *a, **k: None),
+        ("load_checkpoint", lambda *a, **k: {}),
+        ("mkdir_if_missing", lambda *a, **k: None),
+        ("save_checkpoint", lambda *a, **k: None),
+    ):
+        setattr(sys.modules["dassl.utils"], name, fn)
 
     if "ftfy" not in sys.modules:
         _stub("ftfy", fix_text=lambda text, *a, **k: text)
@@ -178,7 +196,9 @@ def load_reference():
         _link(os.path.join(REFERENCE_ROOT, "clip", name),
               os.path.join(clip_dir, name))
     for name in ("maple.py", "cocoop.py", "coop.py", "vpt.py",
-                 "independentVL.py"):
+                 "independentVL.py", "zsclip.py", "imagenet_templates.py",
+                 "maple_fed.py", "client_datamanager.py",
+                 "data_partition.py"):
         _link(os.path.join(REFERENCE_ROOT, "trainers", name),
               os.path.join(trainers_dir, name))
     init = os.path.join(trainers_dir, "__init__.py")
@@ -196,12 +216,27 @@ def load_reference():
     import importlib
 
     clip_pkg = importlib.import_module("clip")
+    ref_trainers = importlib.import_module("ref_trainers")
+    # maple_fed.py does ``from trainers.maple import MaPLe`` (absolute name):
+    # alias the harness package under that name so the reference file
+    # imports ITS OWN sibling, exactly as it does in the reference repo
+    sys.modules.setdefault("trainers", ref_trainers)
+    maple_mod = importlib.import_module("ref_trainers.maple")
+    sys.modules.setdefault("trainers.maple", maple_mod)
     ns = types.SimpleNamespace(
         clip=importlib.import_module("clip.clip"),
         model=importlib.import_module("clip.model"),
         simple_tokenizer=importlib.import_module("clip.simple_tokenizer"),
-        maple=importlib.import_module("ref_trainers.maple"),
+        maple=maple_mod,
         cocoop=importlib.import_module("ref_trainers.cocoop"),
+        coop=importlib.import_module("ref_trainers.coop"),
+        vpt=importlib.import_module("ref_trainers.vpt"),
+        ivlp=importlib.import_module("ref_trainers.independentVL"),
+        zsclip=importlib.import_module("ref_trainers.zsclip"),
+        imagenet_templates=importlib.import_module(
+            "ref_trainers.imagenet_templates"),
+        maple_fed=importlib.import_module("ref_trainers.maple_fed"),
+        data_partition=importlib.import_module("ref_trainers.data_partition"),
         pkg=clip_pkg,
         bpe_path=bpe_path,
     )
