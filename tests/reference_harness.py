@@ -140,14 +140,44 @@ def _install_stubs():
             build_transform=lambda *a, **k: None,
             build_data_loader=lambda *a, **k: None,
         )
-        dassl.data.datasets = _stub("dassl.data.datasets", Datum=_Datum)
+
+        class _DatasetBase:  # inert base: class bodies only, never __init__'d
+            def __init__(self, *a, **k):
+                pass
+
+        dassl.data.datasets = _stub(
+            "dassl.data.datasets", Datum=_Datum,
+            DATASET_REGISTRY=_Registry(), DatasetBase=_DatasetBase,
+        )
+    # Functional dassl.utils helpers the dataset plugins actually rely on
+    # (Dassl semantics: listdir_nohidden skips dotfiles, unsorted by default)
+    import json
+
+    def _read_json(path):
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_json(obj, path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(obj, f, indent=4, separators=(",", ": "))
+
+    def _listdir_nohidden(path, sort=False):
+        items = [f for f in os.listdir(path) if not f.startswith(".")]
+        if sort:
+            items.sort()
+        return items
+
     # (re)set utils attrs so later harness extensions in the same process
     # see every helper the reference files import
     for name, fn in (
         ("load_pretrained_weights", lambda *a, **k: None),
         ("load_checkpoint", lambda *a, **k: {}),
-        ("mkdir_if_missing", lambda *a, **k: None),
+        ("mkdir_if_missing", lambda p: os.makedirs(p, exist_ok=True)),
         ("save_checkpoint", lambda *a, **k: None),
+        ("read_json", _read_json),
+        ("write_json", _write_json),
+        ("listdir_nohidden", _listdir_nohidden),
     ):
         setattr(sys.modules["dassl.utils"], name, fn)
 
@@ -168,7 +198,8 @@ def _install_stubs():
             InterpolationMode=types.SimpleNamespace(BICUBIC="bicubic"),
         )
     if "tqdm" not in sys.modules:
-        _stub("tqdm", tqdm=lambda it=None, *a, **k: it)
+        _stub("tqdm", tqdm=lambda it=None, *a, **k: it,
+              trange=lambda *a, **k: range(*a))
 
 
 def _link(src: str, dst: str) -> None:
@@ -201,10 +232,17 @@ def load_reference():
                  "data_partition.py"):
         _link(os.path.join(REFERENCE_ROOT, "trainers", name),
               os.path.join(trainers_dir, name))
-    init = os.path.join(trainers_dir, "__init__.py")
-    if not os.path.exists(init):
-        with open(init, "w") as f:
-            f.write("")
+    datasets_dir = os.path.join(HARNESS_DIR, "ref_datasets")
+    os.makedirs(datasets_dir, exist_ok=True)
+    for name in ("oxford_pets.py", "dtd.py", "eurosat.py", "caltech101.py",
+                 "patternnet.py", "ucmerced.py", "imagenet.py"):
+        _link(os.path.join(REFERENCE_ROOT, "datasets", name),
+              os.path.join(datasets_dir, name))
+    for d in (trainers_dir, datasets_dir):
+        init = os.path.join(d, "__init__.py")
+        if not os.path.exists(init):
+            with open(init, "w") as f:
+                f.write("")
     bpe_path = os.path.join(clip_dir, "bpe_simple_vocab_16e6.txt.gz")
     if not os.path.exists(bpe_path):
         write_bpe_fixture(bpe_path)
@@ -237,6 +275,13 @@ def load_reference():
             "ref_trainers.imagenet_templates"),
         maple_fed=importlib.import_module("ref_trainers.maple_fed"),
         data_partition=importlib.import_module("ref_trainers.data_partition"),
+        oxford_pets=importlib.import_module("ref_datasets.oxford_pets"),
+        dtd=importlib.import_module("ref_datasets.dtd"),
+        eurosat=importlib.import_module("ref_datasets.eurosat"),
+        caltech101=importlib.import_module("ref_datasets.caltech101"),
+        patternnet=importlib.import_module("ref_datasets.patternnet"),
+        ucmerced=importlib.import_module("ref_datasets.ucmerced"),
+        imagenet=importlib.import_module("ref_datasets.imagenet"),
         pkg=clip_pkg,
         bpe_path=bpe_path,
     )
