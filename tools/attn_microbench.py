@@ -15,11 +15,11 @@ nets ~1.4-1.5 ms fwd (~22% of bf16 peak against a ~1.3 ms roofline that
 is simultaneously HBM- (471 MB QKV), VPU- (fp32 softmax) and small-dot-
 MXU-bound) and ~5.1 ms fwd+bwd with a data-dependent cotangent — the
 earlier "3.8 ms at 9%" figure double-counted the measurement chain.  An
-isolated block nets 24.5 ms fwd+bwd vs ~21 ms matmul-ideal; the 12-block
-tower costs ~50 ms more than 12x the isolated block, but a batch sweep
-(256/384/512 -> 1319/1309/1301 img/s) shows throughput nearly flat, so
-the gap is NOT activation-capacity spill; it remains unattributed
-(scheduling/fusion differences at tower scale + tunnel noise).  Variants
+isolated block nets 24.5 ms fwd+bwd vs ~21 ms matmul-ideal; a
+single-session run of block/block12u/block12i/tower (B=256) attributes
+the whole tower: 12x block exactly, +~2.4 ms injection glue, +~7-10 ms
+embed/final-LN/projection — the once-"unattributed ~50 ms" was
+cross-session tunnel drift (details in docs/BENCH.md).  Variants
 that LOSE: token padding to 208/256, a 4-D single-dot head batch (Mosaic
 rejects the lane->sublane split), jax's flash kernel (15x off at these
 short sequences), full block remat (1085 img/s), and late-normalized
