@@ -211,20 +211,24 @@ def _packed_hp(D: int, n_head: int):
     return hp
 
 
-def _pick_gb(B: int, Tp: int, dtype) -> int:
+def _pick_gb(B: int, Tp: int, dtype, hp: int) -> int:
     """Batch rows per grid step: the largest divisor of ``B`` whose
-    estimated per-step VMEM stays inside budget.
+    estimated per-step VMEM stays inside budget AND whose ``GB * hp``
+    (b, h) slice count per grid step stays at Mosaic's observed limit of
+    16 (beyond that the compiler rejects the kernel).
 
     The backward kernel is the binding case: ~7 token blocks
     (q, k, v, g, dq, dk, dv) of ``(GB, Tp, 128)``, double-buffered by the
     Mosaic pipeline, plus ~3 fp32 score-sized ``(GB, Tp, Tp)``
     temporaries.  GB=8 measured +1.7% end-to-end over GB=4 on the v5e
-    MaPLe step (bf16, Tp=200); fp32 shapes land back on GB<=4 via the
-    estimate.  ``FMM_TPU_PACKED_GB`` overrides the cap for experiments.
+    MaPLe step (bf16, Tp=200, hp=2); fp32 shapes land back on GB<=4 via
+    the estimate.  ``FMM_TPU_PACKED_GB`` overrides the VMEM cap for
+    experiments (the slice-count cap still applies).
     """
     import os
 
     cap = int(os.environ.get("FMM_TPU_PACKED_GB", "8"))
+    cap = min(cap, max(1, 16 // hp))
     bytes_ = jnp.dtype(dtype).itemsize
     budget = 12 << 20  # leave headroom under the ~16 MB VMEM
     for g in range(cap, 0, -1):
@@ -234,13 +238,6 @@ def _pick_gb(B: int, Tp: int, dtype) -> int:
         if est <= budget:
             return g
     return 1
-
-
-def _packed_layout(B: int, T: int, D: int, n_head: int):
-    """Eligibility wrapper: (1, hp) or None (GB is chosen per-call by
-    :func:`_pick_gb`, which needs the dtype)."""
-    hp = _packed_hp(D, n_head)
-    return None if hp is None else (1, hp)
 
 
 def _key_mask(s, valid_T):
@@ -365,7 +362,7 @@ def attention_packed_fwd(qkv: jax.Array, n_head: int, interpret=None):
     hp = _packed_hp(D, n_head)
     assert hp is not None, (qkv.shape, n_head)
     Tp = _round_up(T, 8)
-    GB = _pick_gb(B, Tp, qkv.dtype)
+    GB = _pick_gb(B, Tp, qkv.dtype, hp)
     qkv = _pad_tokens(qkv, Tp)
     bs = hp * hd
     Hb = D // bs
@@ -398,7 +395,7 @@ def attention_packed_bwd(qkv: jax.Array, g: jax.Array, n_head: int,
     hp = _packed_hp(D, n_head)
     assert hp is not None, (qkv.shape, n_head)
     Tp = _round_up(T, 8)
-    GB = _pick_gb(B, Tp, qkv.dtype)
+    GB = _pick_gb(B, Tp, qkv.dtype, hp)
     qkv = _pad_tokens(qkv, Tp)
     g = _pad_tokens(g, Tp)
     bs = hp * hd
@@ -448,7 +445,7 @@ packed_attention.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
 
 
 def packed_attention_eligible(B, T, D, n_head, attn_mask) -> bool:
-    return attn_mask is None and _packed_layout(B, T, D, n_head) is not None
+    return attn_mask is None and _packed_hp(D, n_head) is not None
 
 
 # --------------------------------------------------------------------------
@@ -474,7 +471,7 @@ def attention_packed_fwd_masked(qkv, attn_mask, n_head: int, interpret=None):
     hp = _packed_hp(D, n_head)
     assert hp is not None, (qkv.shape, n_head)
     Tp = _round_up(T, 8)
-    GB = _pick_gb(B, Tp, qkv.dtype)
+    GB = _pick_gb(B, Tp, qkv.dtype, hp)
     qkv = _pad_tokens(qkv, Tp)
     mask = _padded_mask(attn_mask, T, Tp)
     bs = hp * hd
@@ -507,7 +504,7 @@ def attention_packed_bwd_masked(qkv, g, attn_mask, n_head: int,
     hp = _packed_hp(D, n_head)
     assert hp is not None, (qkv.shape, n_head)
     Tp = _round_up(T, 8)
-    GB = _pick_gb(B, Tp, qkv.dtype)
+    GB = _pick_gb(B, Tp, qkv.dtype, hp)
     qkv = _pad_tokens(qkv, Tp)
     g = _pad_tokens(g, Tp)
     mask = _padded_mask(attn_mask, T, Tp)
@@ -560,7 +557,7 @@ packed_attention_masked.defvjp(_pam_fwd, _pam_bwd)
 
 
 def packed_attention_masked_eligible(B, T, D, n_head, attn_mask) -> bool:
-    return attn_mask is not None and _packed_layout(B, T, D, n_head) is not None
+    return attn_mask is not None and _packed_hp(D, n_head) is not None
 
 
 # --------------------------------------------------------------------------

@@ -203,8 +203,16 @@ def _install_stubs():
 
 
 def _link(src: str, dst: str) -> None:
-    if not os.path.islink(dst):
-        os.symlink(src, dst)
+    # repoint stale links / replace leftover regular files so a changed
+    # REFERENCE_ROOT never leaves dangling symlinks in the persistent
+    # harness dir
+    if os.path.islink(dst):
+        if os.readlink(dst) == src:
+            return
+        os.unlink(dst)
+    elif os.path.exists(dst):
+        os.unlink(dst)
+    os.symlink(src, dst)
 
 
 _cache = None
@@ -218,6 +226,16 @@ def load_reference():
     global _cache
     if _cache is not None:
         return _cache
+
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "clip")):
+        # off-container checkout: the reference mount is absent — skip the
+        # executed-reference goldens instead of erroring the whole suite
+        import pytest
+
+        pytest.skip(
+            f"reference tree not available at {REFERENCE_ROOT}",
+            allow_module_level=False,
+        )
 
     clip_dir = os.path.join(HARNESS_DIR, "clip")
     trainers_dir = os.path.join(HARNESS_DIR, "ref_trainers")

@@ -312,3 +312,26 @@ def test_packed_attention_masked_unaligned_T(rng):
         pa.packed_attention_masked(jnp.asarray(qkv), mask, n_head)
     )
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_pick_gb_respects_mosaic_slice_limit(monkeypatch):
+    """GB * hp (the (b, h) slices one grid step touches) must stay <= 16 —
+    Mosaic rejects kernels beyond that (docs/BENCH.md).  head_dim 32
+    (hp = 4) shapes would otherwise pick GB = 8 from the VMEM estimate
+    alone, and FMM_TPU_PACKED_GB must not be able to push past the limit
+    either."""
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    assert pa._pick_gb(512, 200, jnp.bfloat16, hp=4) == 4
+    assert pa._pick_gb(512, 200, jnp.bfloat16, hp=2) == 8
+    monkeypatch.setenv("FMM_TPU_PACKED_GB", "16")
+    assert pa._pick_gb(512, 128, jnp.bfloat16, hp=2) <= 8
+    # and the packed kernels still run end-to-end at hp=4 (head_dim 32)
+    import jax
+
+    r = np.random.default_rng(0)
+    qkv = jnp.asarray(r.standard_normal((8, 16, 3 * 256)).astype(np.float32))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = np.asarray(pa._xla_attention(q, k, v, 8, None))
+    got = np.asarray(pa.packed_attention(qkv, 8))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
