@@ -42,18 +42,94 @@ CHILD = textwrap.dedent(
 )
 
 
+CHILD_FED = textwrap.dedent(
+    """
+    import os
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from federated_multi_modal_tpu.parallel import multihost
+    ok = multihost.initialize_multihost()
+    assert ok, "expected an active multi-process runtime"
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
+    from federated_multi_modal_tpu.parallel import (
+        build_parallel_fed_step, fedavg_over_clients, stack_client_trees,
+    )
+
+    pid = jax.process_index()
+    devs = np.array(jax.devices()).reshape(2, 1)
+    mesh = Mesh(devs, ("client", "data"))
+
+    def loss_fn(trainable, frozen, batch):
+        return jnp.mean((trainable["w"][None] - batch["t"]) ** 2), {}
+
+    lr, B = 0.1, 2
+    tx = optax.sgd(lr)
+    # deterministic per-client params/targets every process can recompute
+    w = np.stack([np.full(4, 1.0 + c, np.float32) for c in range(2)])
+    t = np.stack(
+        [np.full((B, 4), 0.5 * (c + 1), np.float32) for c in range(2)]
+    )
+
+    def to_global(arr, spec):
+        # each process contributes ITS client's shard of the global array
+        return multihost_utils.host_local_array_to_global_array(
+            arr[pid:pid + 1], mesh, spec
+        )
+
+    stacked = {"w": to_global(w, P("client"))}
+    opt0 = tx.init({"w": jnp.asarray(w[0])})  # sgd state holds no arrays
+    opt = stack_client_trees([opt0, opt0])
+    batch = {"t": to_global(t, P("client", "data"))}
+
+    fed_step = build_parallel_fed_step(loss_fn, tx, mesh)
+
+    def round_fn(stacked, opt, batch):
+        stacked, opt, losses = fed_step(stacked, None, opt, batch)
+        return fedavg_over_clients(stacked), losses
+
+    round_jit = jax.jit(round_fn, out_shardings=(
+        {"w": NamedSharding(mesh, P("client"))},
+        NamedSharding(mesh, P("client")),
+    ))
+    avg, losses = round_jit(stacked, opt, batch)
+    avg_local = np.asarray(
+        jax.device_get(avg["w"].addressable_shards[0].data)
+    )
+    loss_local = np.asarray(
+        jax.device_get(losses.addressable_shards[0].data)
+    )
+
+    # analytic: dL/dw_j = (2/4) (w_j - mean_b t_bj); one sgd step; FedAvg
+    exp_w = w - lr * 0.5 * (w - t.mean(axis=1))
+    np.testing.assert_allclose(
+        avg_local.ravel()[:4], exp_w.mean(axis=0), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        loss_local.ravel()[0], ((w[pid] - t[pid]) ** 2).mean(), rtol=1e-6
+    )
+    print(f"FED_OK {pid}", flush=True)
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_smoke(tmp_path):
+def _run_two_processes(script_text, tmp_path, extra_env=None, timeout=150):
+    """Spawn 2 ``jax.distributed`` CPU processes running ``script_text``;
+    return their joined output (or skip/fail per the environment rules)."""
     port = _free_port()
-    out_file = str(tmp_path / "proc0.txt")
     script = str(tmp_path / "child.py")
     with open(script, "w") as f:
-        f.write(CHILD)
+        f.write(script_text)
 
     procs = []
     for pid in range(2):
@@ -63,9 +139,9 @@ def test_two_process_distributed_smoke(tmp_path):
         env["JAX_NUM_PROCESSES"] = "2"
         env["JAX_PROCESS_ID"] = str(pid)
         env["JAX_PLATFORMS"] = "cpu"
-        env["SMOKE_OUT"] = out_file
         # one virtual device per process keeps the global topology tiny
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env.update(extra_env or {})
         procs.append(
             subprocess.Popen(
                 [sys.executable, script],
@@ -78,12 +154,12 @@ def test_two_process_distributed_smoke(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=100)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.fail("multihost smoke hung:\n" + "\n---\n".join(outs))
+        pytest.fail("multihost child hung:\n" + "\n---\n".join(outs))
 
     joined = "\n---\n".join(outs)
     if any(p.returncode != 0 for p in procs):
@@ -92,11 +168,32 @@ def test_two_process_distributed_smoke(tmp_path):
         # environment cannot run the smoke — skip, don't fail
         if "must be called before" in joined:
             pytest.skip("backend preloaded before jax.distributed: " + joined)
-        pytest.fail("multihost smoke failed:\n" + joined)
+        pytest.fail("multihost child failed:\n" + joined)
+    return joined
+
+
+def test_two_process_distributed_smoke(tmp_path):
+    out_file = str(tmp_path / "proc0.txt")
+    joined = _run_two_processes(
+        CHILD, tmp_path, extra_env={"SMOKE_OUT": out_file}, timeout=100
+    )
     assert "CHILD_OK 0" in joined
     assert "CHILD_OK 1" in joined
     with open(out_file) as f:
         assert f.read() == "written-by-process-0"
+
+
+def test_two_process_fed_step_and_fedavg(tmp_path):
+    """The REAL federated SPMD path across process boundaries: each process
+    hosts one client on a global ``(client=2, data=1)`` mesh,
+    ``build_parallel_fed_step`` (shard_map impl) takes one local SGD step
+    per client, and ``fedavg_over_clients`` reduces over the cross-process
+    client axis (Gloo CPU collectives).  Both processes must see the exact
+    analytic average — this is the multi-host story the reference never
+    had (SURVEY §2.4 'Communication backend: none')."""
+    joined = _run_two_processes(CHILD_FED, tmp_path)
+    assert "FED_OK 0" in joined
+    assert "FED_OK 1" in joined
 
 
 def test_explicit_coordinator_after_backend_init_raises():
