@@ -587,6 +587,58 @@ def run_block(args):
     report("block",
            lambda x, p: P.residual_block(x, p, H), blk)
 
+    def block_noln(x, p):
+        """The block with both LayerNorms removed — the CEILING a fused
+        LN+matmul kernel could reach.  block - block_noln >> 0 means XLA
+        is NOT hiding LN's bandwidth and a Pallas fusion has headroom;
+        ~0 means LN already rides the matmul pipeline for free."""
+        x = x + P.multi_head_attention(x, p["attn"], H)
+        x = x + P.mlp(x, p["mlp"])
+        return x
+
+    report("block_noln", block_noln, blk)
+
+    def ln_linear(x, lnp, w, b):
+        """Algebraic LN->matmul fusion: LN(x) @ w + b WITHOUT materializing
+        LN(x).  Per-row scalars mu/rstd commute with the contraction:
+        LN(x)@W = rstd*(x @ (gamma (.) W)) - rstd*mu*(gamma^T W) + beta^T W
+        — one bf16 dot over a row-scaled W, a cheap fused moments
+        reduction over x, and an elementwise epilogue XLA folds into the
+        dot's output write.  Exact in fp32; in bf16 it ROUNDS DIFFERENTLY
+        (raw x instead of normalized LN(x) enters the dot)."""
+        g = lnp["scale"].astype(jnp.float32)
+        beta = lnp["bias"].astype(jnp.float32)
+        w32 = w.astype(jnp.float32)
+        wp = (g[:, None] * w32).astype(x.dtype)
+        s = (g @ w32)
+        t = (beta @ w32)
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        y = jnp.matmul(x, wp).astype(jnp.float32)
+        y = rstd * y - (rstd * mu) * s + t
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    def block_lnfuse(x, p):
+        from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+        qkv = ln_linear(x, p["ln_1"], p["attn"]["w_qkv"], p["attn"]["b_qkv"])
+        if args.attention == "pallas":
+            a = pa.packed_attention(qkv, H)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            a = pa._xla_attention(q, k, v, H, None)
+        x = x + P.linear(a, p["attn"]["w_out"], p["attn"]["b_out"])
+        h = P.quick_gelu(
+            ln_linear(x, p["ln_2"], p["mlp"]["w_fc"], p["mlp"]["b_fc"])
+        )
+        return x + P.linear(h, p["mlp"]["w_proj"], p["mlp"]["b_proj"])
+
+    report("block_lnfuse", block_lnfuse, blk)
+
     def twelve(x, bs):
         def body(c, b):
             return P.residual_block(c, b, H), ()
