@@ -335,3 +335,36 @@ def test_pick_gb_respects_mosaic_slice_limit(monkeypatch):
     ref = np.asarray(pa._xla_attention(q, k, v, 8, None))
     got = np.asarray(pa.packed_attention(qkv, 8))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_lnqkv_attention_matches_unfused(rng):
+    """The experimental fused LN1->QKV->attention kernel
+    (tools/attn_microbench.py::fused_lnqkv_attention, a round-3 production
+    candidate) must equal LN + QKV matmul + packed attention exactly in
+    fp32 (the algebra is identical; only bf16 re-rounding may differ)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]
+                           / "tools"))
+    from attn_microbench import fused_lnqkv_attention
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    B, T, D, H = 8, 16, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lnp = {
+        "scale": jnp.asarray(
+            (rng.standard_normal(D) * 0.1 + 1).astype(np.float32)),
+        "bias": jnp.asarray(
+            (rng.standard_normal(D) * 0.1).astype(np.float32)),
+    }
+    w = jnp.asarray((rng.standard_normal((D, 3 * D)) * 0.05).astype(
+        np.float32))
+    b = jnp.asarray((rng.standard_normal(3 * D) * 0.05).astype(np.float32))
+
+    qkv = P.linear(P.layer_norm(x, lnp), w, b)
+    ref = pa.attention_packed_fwd(qkv, H, interpret=True)
+    got = fused_lnqkv_attention(x, lnp, w, b, H, GB=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )

@@ -45,9 +45,82 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
 import time
 
 import numpy as np
+
+
+def fused_lnqkv_attention(x, lnp, w, b, n_head, GB=4, interpret=None):
+    """EXPERIMENTAL: one Pallas kernel for LN1 -> QKV matmul -> attention
+    (out-projection stays XLA).  The production packed kernel is HBM-bound
+    on the 471 MB QKV tensor XLA's matmul writes and the kernel reads
+    back; computing QKV in-kernel from the 157 MB input eliminates that
+    round-trip (and the LN materialization).  Measured ~1.5 ms/block fwd
+    over the LN+matmul+packed-kernel path at ViT-B/16 B=512 shapes on
+    v5e.  Forward only — a round-3 production candidate; the VJP would
+    recompute LN+QKV in VMEM and needs a dW/dgamma variant for the
+    trainable block 11 + LN params."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    B, T, D = x.shape
+    hd = D // n_head
+    assert T % 8 == 0 and B % GB == 0
+    g2 = lnp["scale"].reshape(1, D).astype(jnp.float32)
+    be2 = lnp["bias"].reshape(1, D).astype(jnp.float32)
+    bq2 = b.reshape(1, 3 * D)
+    scale = 1.0 / float(np.sqrt(hd))
+
+    def kernel(x_ref, w_ref, bq_ref, g_ref, be_ref, o_ref):
+        x32 = x_ref[...].astype(jnp.float32)  # (GB, T, D)
+        mu = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+        xn = (xn * g_ref[...] + be_ref[...]).astype(x_ref.dtype)
+        qkv = jax.lax.dot_general(
+            xn, w_ref[...], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(
+            x_ref.dtype
+        )  # (GB, T, 3D)
+        outs = []
+        for i in range(n_head):
+            lo = i * hd
+            q = qkv[:, :, lo:lo + hd]
+            k = qkv[:, :, D + lo:D + lo + hd]
+            v = qkv[:, :, 2 * D + lo:2 * D + lo + hd]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p_ = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    p_, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(o_ref.dtype)
+            )
+        o_ref[...] = jnp.concatenate(outs, axis=-1)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        grid=(B // GB,),
+        in_specs=[
+            pl.BlockSpec((GB, T, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((GB, T, D), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(x, w.astype(x.dtype), bq2.astype(x.dtype), g2, be2)
 
 
 def _mk_timer(iters):
@@ -638,6 +711,42 @@ def run_block(args):
         return x + P.linear(h, p["mlp"]["w_proj"], p["mlp"]["b_proj"])
 
     report("block_lnfuse", block_lnfuse, blk)
+
+    # experimental fused LN1+QKV+attention kernel (module level, above)
+    def attn_path_ref(x, p):
+        """Today's path for the same slice: LN1 (XLA) -> QKV matmul (XLA)
+        -> packed attention kernel (reads QKV back from HBM)."""
+        from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+        xn = P.layer_norm(x, p["ln_1"])
+        qkv = P.linear(xn, p["attn"]["w_qkv"], p["attn"]["b_qkv"])
+        return pa.attention_packed_fwd(qkv, H)
+
+    def attn_path_fused(x, p):
+        return fused_lnqkv_attention(
+            x, p["ln_1"], p["attn"]["w_qkv"], p["attn"]["b_qkv"], H,
+            GB=int(os.environ.get("FMM_TPU_FUSED_GB", "4")),
+        )
+
+    report("attn_path", attn_path_ref, blk, fb=False)
+    if not only_list or "attn_fused" in only_list:
+        # the whole comparison under ONE jit with params as arguments —
+        # eager pallas_call dispatch 500s the remote compiler, and closing
+        # over weights would bake them into the HLO (CLAUDE.md)
+        try:
+            err = float(jax.device_get(jax.jit(
+                lambda x, p: jnp.max(jnp.abs(
+                    attn_path_ref(x, p).astype(jnp.float32)
+                    - attn_path_fused(x, p).astype(jnp.float32)
+                ))
+            )(x0, blk)))
+            print(f"attn_fused max|diff| vs attn_path = {err:.3e} "
+                  f"(bf16 re-rounding; fp32-exact on CPU interpret — "
+                  f"tests/test_pallas.py)", flush=True)
+        except Exception as e:
+            print(f"attn_fused check FAILED: {type(e).__name__}: "
+                  f"{str(e)[:150]}", flush=True)
+    report("attn_fused", attn_path_fused, blk, fb=False)
 
     def twelve(x, bs):
         def body(c, b):
