@@ -368,3 +368,43 @@ def test_fused_lnqkv_attention_matches_unfused(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
     )
+
+
+def test_fused_lnqkv_attention_bwd_dx_matches_autodiff(rng):
+    """dx from the experimental fused backward kernel
+    (tools/attn_microbench.py::make_fused_lnqkv_attention_fb — recomputes
+    LN/QKV/scores in VMEM) must match autodiff through the unfused
+    LN -> QKV matmul -> packed-attention path to fp32 precision."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]
+                           / "tools"))
+    from attn_microbench import make_fused_lnqkv_attention_fb
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas import attention as pa
+
+    import jax
+
+    B, T, D, H = 4, 16, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lnp = {
+        "scale": jnp.asarray(
+            (rng.standard_normal(D) * 0.1 + 1).astype(np.float32)),
+        "bias": jnp.asarray(
+            (rng.standard_normal(D) * 0.1).astype(np.float32)),
+    }
+    w = jnp.asarray((rng.standard_normal((D, 3 * D)) * 0.05).astype(
+        np.float32))
+    b = jnp.asarray((rng.standard_normal(3 * D) * 0.05).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    def unfused(x):
+        qkv = P.linear(P.layer_norm(x, lnp), w, b)
+        return pa.packed_attention(qkv, H)
+
+    fused = make_fused_lnqkv_attention_fb(H, GB=2, interpret=True)
+    ref_dx = jax.grad(lambda x: jnp.sum(unfused(x) * co))(x)
+    got_dx = jax.grad(lambda x: jnp.sum(fused(x, lnp, w, b) * co))(x)
+    np.testing.assert_allclose(
+        np.asarray(got_dx), np.asarray(ref_dx), atol=2e-5, rtol=2e-5
+    )

@@ -123,6 +123,130 @@ def fused_lnqkv_attention(x, lnp, w, b, n_head, GB=4, interpret=None):
     )(x, w.astype(x.dtype), bq2.astype(x.dtype), g2, be2)
 
 
+def fused_lnqkv_attention_bwd_dx(x, lnp, w, b, dy, n_head, GB=4,
+                                 interpret=None):
+    """EXPERIMENTAL: dx for :func:`fused_lnqkv_attention` in ONE Pallas
+    kernel — recomputes LN/QKV/scores/probs in VMEM from the raw input
+    (residual = x itself, nothing else saved to HBM), then runs the
+    attention backward, folds d(QKV) through W^T and the LayerNorm
+    backward, and writes dx.  PROTOTYPE: param grads (dgamma/dbeta/dW/db)
+    are NOT computed — the production VJP adds per-grid-step partial
+    accumulators for them (timing impact ~nil: tiny reductions over
+    already-resident tiles)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    B, T, D = x.shape
+    hd = D // n_head
+    assert T % 8 == 0 and B % GB == 0
+    g2 = lnp["scale"].reshape(1, D).astype(jnp.float32)
+    be2 = lnp["bias"].reshape(1, D).astype(jnp.float32)
+    bq2 = b.reshape(1, 3 * D)
+    scale = 1.0 / float(np.sqrt(hd))
+
+    def kernel(x_ref, w_ref, bq_ref, g_ref, be_ref, dy_ref, dx_ref):
+        x32 = x_ref[...].astype(jnp.float32)
+        mu = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        xhat = (x32 - mu) * rstd
+        xn = (xhat * g_ref[...] + be_ref[...]).astype(x_ref.dtype)
+        qkv = jax.lax.dot_general(
+            xn, w_ref[...], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for i in range(n_head):
+            lo = i * hd
+            q = qkv[:, :, lo:lo + hd]
+            k = qkv[:, :, D + lo:D + lo + hd]
+            v = qkv[:, :, 2 * D + lo:2 * D + lo + hd]
+            g_h = dy_ref[:, :, lo:lo + hd]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p32 = jax.nn.softmax(s, axis=-1)
+            p = p32.astype(v.dtype)
+            dv = jax.lax.dot_general(
+                p, g_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                g_h, v, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            ds = (p32 * (dp - jnp.sum(dp * p32, -1, keepdims=True))
+                  * scale).astype(k.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                ds, q, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dq_parts.append(dq.astype(x_ref.dtype))
+            dk_parts.append(dk.astype(x_ref.dtype))
+            dv_parts.append(dv.astype(x_ref.dtype))
+        dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+        dxn = jax.lax.dot_general(
+            dqkv, w_ref[...], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (GB, T, D) fp32
+        dg = dxn * g_ref[...]
+        m1 = jnp.mean(dg, -1, keepdims=True)
+        m2 = jnp.mean(dg * xhat, -1, keepdims=True)
+        dx_ref[...] = (rstd * (dg - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    blk3 = pl.BlockSpec((GB, T, D), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        grid=(B // GB,),
+        in_specs=[
+            blk3,
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            blk3,
+        ],
+        out_specs=blk3,
+        interpret=interpret,
+    )(x, w.astype(x.dtype), bq2.astype(x.dtype), g2, be2, dy)
+
+
+def make_fused_lnqkv_attention_fb(n_head, GB=4, interpret=None):
+    """custom_vjp wrapper over the fused fwd/bwd kernels — TIMING/dx-parity
+    prototype (param cotangents returned as zeros; see bwd docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_vjp
+    def op(x, lnp, w, b):
+        return fused_lnqkv_attention(x, lnp, w, b, n_head, GB=GB,
+                                     interpret=interpret)
+
+    def fwd(x, lnp, w, b):
+        return op(x, lnp, w, b), (x, lnp, w, b)
+
+    def bwd(res, dy):
+        x, lnp, w, b = res
+        dx = fused_lnqkv_attention_bwd_dx(
+            x, lnp, w, b, dy, n_head, GB=GB, interpret=interpret
+        )
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, (lnp, w, b))
+        return (dx,) + zeros
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def _mk_timer(iters):
     import jax
 
@@ -715,20 +839,30 @@ def run_block(args):
     # experimental fused LN1+QKV+attention kernel (module level, above)
     def attn_path_ref(x, p):
         """Today's path for the same slice: LN1 (XLA) -> QKV matmul (XLA)
-        -> packed attention kernel (reads QKV back from HBM)."""
+        -> packed attention kernel (reads QKV back from HBM; custom-VJP
+        op so fwd+bwd is the production backward)."""
         from federated_multi_modal_tpu.ops.pallas import attention as pa
 
         xn = P.layer_norm(x, p["ln_1"])
         qkv = P.linear(xn, p["attn"]["w_qkv"], p["attn"]["b_qkv"])
-        return pa.attention_packed_fwd(qkv, H)
+        return pa.packed_attention(qkv, H)
+
+    _fused_fb = make_fused_lnqkv_attention_fb(
+        H, GB=int(os.environ.get("FMM_TPU_FUSED_GB", "4"))
+    )
 
     def attn_path_fused(x, p):
+        return _fused_fb(
+            x, p["ln_1"], p["attn"]["w_qkv"], p["attn"]["b_qkv"]
+        )
+
+    def attn_path_fused_raw(x, p):
         return fused_lnqkv_attention(
             x, p["ln_1"], p["attn"]["w_qkv"], p["attn"]["b_qkv"], H,
             GB=int(os.environ.get("FMM_TPU_FUSED_GB", "4")),
         )
 
-    report("attn_path", attn_path_ref, blk, fb=False)
+    report("attn_path", attn_path_ref, blk)
     if not only_list or "attn_fused" in only_list:
         # the whole comparison under ONE jit with params as arguments —
         # eager pallas_call dispatch 500s the remote compiler, and closing
@@ -746,7 +880,8 @@ def run_block(args):
         except Exception as e:
             print(f"attn_fused check FAILED: {type(e).__name__}: "
                   f"{str(e)[:150]}", flush=True)
-    report("attn_fused", attn_path_fused, blk, fb=False)
+    report("attn_fusedp", attn_path_fused_raw, blk, fb=False)
+    report("attn_fused", attn_path_fused, blk)
 
     def twelve(x, bs):
         def body(c, b):
