@@ -143,6 +143,20 @@ class TrainerBase:
 
         set_text_pack(bool(getattr(cfg.TPU, "TEXT_PACK", True)))
 
+        # declare which vision blocks need attention-weight gradients so
+        # the frozen-W blocks can take the fused LN+QKV+attention kernel
+        # (ops/pallas/fused_block.py).  Subclasses set ATTN_WGRAD_VISION:
+        # "last" (MaPLe policy: resblocks.{last} trainable), frozenset()
+        # (prompt-only trainers: no attention weights train), or None
+        # (unknown -> fused path disabled, full autodiff everywhere).
+        from federated_multi_modal_tpu.ops.primitives import (
+            set_vision_attn_wgrad_blocks,
+        )
+
+        set_vision_attn_wgrad_blocks(
+            getattr(type(self), "ATTN_WGRAD_VISION", None)
+        )
+
         self._models: Dict[str, dict] = {}
 
         self.start_epoch = 0

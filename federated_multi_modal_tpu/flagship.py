@@ -57,6 +57,13 @@ def build_maple_program(
     ``label (B,)`` and optionally ``caption_tokens (B,77)``.
     """
     classnames = classnames or DEFAULT_CLASSNAMES
+    # MaPLe unfreeze policy: only the last vision block's attention weights
+    # train -> frozen blocks may take the fused LN+QKV+attention kernel
+    from federated_multi_modal_tpu.ops.primitives import (
+        set_vision_attn_wgrad_blocks,
+    )
+
+    set_vision_attn_wgrad_blocks("last")
     arch = BACKBONE_CONFIGS[backbone]
     depth = min(depth, arch.vision_layers)
     key = jax.random.PRNGKey(seed)

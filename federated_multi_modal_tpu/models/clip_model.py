@@ -69,14 +69,26 @@ def _broadcast_prompt(p: jax.Array, batch: int, dtype) -> jax.Array:
     return p
 
 
-def _block_fn(remat: bool):
+def _block_fn(remat: bool, attn_w_frozen: bool = False,
+              inference: bool = False):
     """Per-block forward, optionally rematerialized: with ``remat`` the
     block's activations are recomputed in the backward pass instead of
     stored — ~1 extra forward of FLOPs for ~L x activation memory saved,
-    which buys much larger batches (HBM is the binding constraint)."""
+    which buys much larger batches (HBM is the binding constraint).
+
+    ``attn_w_frozen`` / ``inference`` are bound statically (they select
+    the fused LN+QKV+attention / LN+MLP kernels — see
+    ``ops.primitives.residual_block``)."""
+    import functools
+
+    fn = residual_block
+    if attn_w_frozen or inference:
+        fn = functools.partial(
+            residual_block, attn_w_frozen=attn_w_frozen, inference=inference
+        )
     if remat:
-        return jax.checkpoint(residual_block, static_argnums=(2,))
-    return residual_block
+        return jax.checkpoint(fn, static_argnums=(2,))
+    return fn
 
 
 def encode_image(
@@ -87,6 +99,7 @@ def encode_image(
     deep_prompts: Optional[Sequence[jax.Array]] = None,
     extra_tokens: Optional[jax.Array] = None,
     remat: bool = False,
+    inference: bool = False,
 ) -> jax.Array:
     """Vision transformer forward with optional prompt injection.
 
@@ -102,6 +115,13 @@ def encode_image(
         extra_tokens: ``(B, k, width)`` per-sample conditioning tokens
             (caption embeddings), appended after the shallow prompts and
             re-injected alongside every deep prompt.
+        inference: caller guarantees no cotangent ever flows into this
+            tower (eval fast paths, frozen-tower feature extraction).
+            Every block then takes the fused LN+QKV+attention kernel
+            under the pallas impl — a pure forward win (docs/BENCH.md).
+            Training-time fusion of frozen-W blocks stays env-gated
+            (``FMM_TPU_FUSED_TRAIN``): its backward kernel currently
+            loses at the GB=1 VMEM fit.
 
     Returns:
         ``(B, embed_dim)`` image features (pre-normalization), fp32.
@@ -140,6 +160,27 @@ def encode_image(
             "would silently grow"
         )
     block = _block_fn(remat)
+    # fused LN+QKV+attention: in ``inference`` towers every block takes it
+    # (no grads exist at all); in training only the blocks whose attention
+    # weights the trainer declared frozen
+    # (ops.primitives.set_vision_attn_wgrad_blocks) and only when the
+    # experimental FMM_TPU_FUSED_TRAIN gate is on (the fused backward
+    # currently loses at its GB=1 VMEM fit — docs/BENCH.md).
+    from federated_multi_modal_tpu.ops.primitives import (
+        fused_train_enabled,
+        get_vision_attn_wgrad_blocks,
+    )
+
+    if inference:
+        wgrad = frozenset()
+    elif fused_train_enabled():
+        wgrad = get_vision_attn_wgrad_blocks(len(params["blocks"]))
+    else:
+        wgrad = None
+    block_fw = (
+        _block_fn(remat, attn_w_frozen=True, inference=inference)
+        if wgrad is not None else None
+    )
     for i, blk in enumerate(params["blocks"]):
         if 1 <= i <= len(deep_prompts):
             p = _broadcast_prompt(deep_prompts[i - 1], B, dtype)
@@ -147,7 +188,8 @@ def encode_image(
             if extra_tokens is not None:
                 tail.append(extra_tokens.astype(dtype))
             x = jnp.concatenate([x[:, : x.shape[1] - n_tail]] + tail, axis=1)
-        x = block(x, blk, cfg.vision_heads)
+        fn = block_fw if (wgrad is not None and i not in wgrad) else block
+        x = fn(x, blk, cfg.vision_heads)
 
     pooled = layer_norm(x[:, 0, :], params["ln_post"])
     feats = jnp.matmul(
@@ -164,7 +206,10 @@ def encode_image_auto(params, cfg: CLIPConfig, images: jax.Array, **prompt_kwarg
     """
     if cfg.is_vit:
         return encode_image(params, cfg, images, **prompt_kwargs)
-    prompts = {k: v for k, v in prompt_kwargs.items() if k != "remat"}
+    prompts = {
+        k: v for k, v in prompt_kwargs.items()
+        if k not in ("remat", "inference")
+    }
     if any(v is not None for v in prompts.values()):
         raise ValueError("Visual prompting requires a ViT backbone")
     from federated_multi_modal_tpu.models.resnet import encode_image_resnet

@@ -1,0 +1,506 @@
+"""Fused LN1 -> QKV projection -> attention Pallas kernel (vision tower).
+
+The production packed-QKV kernels (``attention.py``) are HBM-bound on the
+QKV tensor: XLA's matmul writes ``(B, T, 3D)`` (471 MB at ViT-B/16 vision
+shapes, B=512/T=200/bf16) and the kernel reads it straight back.  Computing
+QKV *inside* the kernel from the 157 MB residual-stream input eliminates
+that round-trip, plus the LayerNorm materialization in both directions —
+measured ~0.7 ms/block forward over LN + XLA-matmul + packed-kernel on v5e
+(docs/BENCH.md, round 2 prototype; this module is the production form).
+
+Scope and contract:
+
+* Mask-free attention only (the vision tower; masked text rows keep the
+  packed kernels).
+* The backward kernel recomputes LN/QKV/scores/probs in VMEM from the raw
+  input — the only residual is ``x`` itself, which the surrounding
+  residual-add keeps alive anyway: zero extra activation memory.
+* ``d(x)``, ``d(ln.scale)`` and ``d(ln.bias)`` are exact (LayerNorms are
+  trainable in EVERY block under the reference's unfreeze policy,
+  ``reference/trainers/maple.py:447-479``).  **The QKV weight/bias
+  cotangents are returned as zeros**: materializing d(QKV) for
+  ``dW = xn^T d(QKV)`` would reintroduce the full HBM round-trip the
+  kernel exists to remove.  Callers must therefore route this op ONLY
+  through blocks whose attention weights are frozen — the reference policy
+  freezes all but ``resblocks.{last}`` — via
+  ``ops.primitives.set_vision_attn_wgrad_blocks``; the trainable last
+  block stays on the autodiff (packed-kernel) path.  VMEM note: dxn is
+  accumulated per head through W row-slices instead of concatenating a
+  ``(GB, T, 3D)`` d(QKV) block, which is what lets the backward fit at
+  useful group sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from federated_multi_modal_tpu.ops.pallas.attention import (
+    _auto_interpret,
+    _key_mask,
+    _round_up,
+)
+
+try:
+    from jax.experimental import pallas as pl
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def fused_ln_attention_eligible(B: int, T: int, D: int, n_head: int,
+                                attn_mask) -> bool:
+    """The fused kernel applies to mask-free, lane-aligned towers.
+    ``FMM_TPU_FUSED=0`` disables it (A/B benching + escape hatch)."""
+    if os.environ.get("FMM_TPU_FUSED", "1").lower() in ("0", "off", "false"):
+        return False
+    if not _PALLAS_OK or attn_mask is not None:
+        return False
+    if D % n_head or D % 128:
+        return False
+    hd = D // n_head
+    return hd % 8 == 0 and B >= 1
+
+
+def _pick_gb(B: int, Tp: int, D: int, dtype, backward: bool) -> int:
+    """Rows per grid step.  The forward fits GB=4 at ViT-B/16 vision shapes
+    (GB=8 blows the ~16 MB VMEM: the fp32 QKV dot output alone is 14.7 MB);
+    the backward carries the same recompute plus the fp32 dxn accumulator
+    and per-head gradient temporaries.  ``FMM_TPU_FUSED_GB`` /
+    ``FMM_TPU_FUSED_GB_BWD`` override for experiments."""
+    env = "FMM_TPU_FUSED_GB_BWD" if backward else "FMM_TPU_FUSED_GB"
+    cap = os.environ.get(env)
+    if cap is not None:
+        cap = int(cap)
+    else:
+        bytes_ = jnp.dtype(dtype).itemsize
+        budget = 12 << 20
+        cap = 1
+        for g in (8, 4, 2, 1):
+            # resident per step: x/dy/dx tiles, fp32 LN temporaries, the
+            # fp32 QKV dot output + its cast, per-head fp32 score blocks,
+            # and (backward) the fp32 dxn accumulator
+            est = (3 + 4 * 2) * g * Tp * D * bytes_ + 4 * g * Tp * 3 * D
+            if backward:
+                est += 4 * g * Tp * D + 3 * 4 * g * Tp * Tp
+            else:
+                est += 2 * 4 * g * Tp * Tp
+            if est <= budget:
+                cap = g
+                break
+    for g in range(min(cap, B), 0, -1):
+        if B % g == 0:
+            return g
+    return 1
+
+
+def _fwd_kernel(x_ref, w_ref, bq_ref, g_ref, be_ref, o_ref, *, n_head,
+                scale, valid_T):
+    D = x_ref.shape[-1]
+    hd = D // n_head
+    x32 = x_ref[...].astype(jnp.float32)  # (GB, Tp, D)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+    xn = (xn * g_ref[...] + be_ref[...]).astype(x_ref.dtype)
+    qkv = jax.lax.dot_general(
+        xn, w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    outs = []
+    for i in range(n_head):
+        lo = i * hd
+        q = qkv[:, :, lo:lo + hd]
+        k = qkv[:, :, D + lo:D + lo + hd]
+        v = qkv[:, :, 2 * D + lo:2 * D + lo + hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_T is not None:
+            s = _key_mask(s, valid_T)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+        )
+    o_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
+def _fwd_kernel_outproj(x_ref, w_ref, bq_ref, g_ref, be_ref, wo_ref, bo_ref,
+                        o_ref, *, n_head, scale, valid_T):
+    """Inference-only extension of :func:`_fwd_kernel`: also applies the
+    output projection and the residual add in-kernel, so the per-block
+    attention half makes exactly one HBM read (x) and one write (x + out).
+    """
+    D = x_ref.shape[-1]
+    hd = D // n_head
+    x32 = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+    xn = (xn * g_ref[...] + be_ref[...]).astype(x_ref.dtype)
+    qkv = jax.lax.dot_general(
+        xn, w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    outs = []
+    for i in range(n_head):
+        lo = i * hd
+        q = qkv[:, :, lo:lo + hd]
+        k = qkv[:, :, D + lo:D + lo + hd]
+        v = qkv[:, :, 2 * D + lo:2 * D + lo + hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_T is not None:
+            s = _key_mask(s, valid_T)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x_ref.dtype)
+        )
+    a = jnp.concatenate(outs, axis=-1)
+    proj = jax.lax.dot_general(
+        a, wo_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[...].astype(jnp.float32)
+    o_ref[...] = (x32 + proj).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def fused_ln_attention_residual(x, lnp, attnp, n_head: int, interpret=None):
+    """``x + out_proj(attention(qkv(layer_norm(x))))`` in one kernel.
+
+    Forward-only (no custom VJP — differentiation raises); inference
+    towers route here from ``ops.primitives.residual_block``.
+    """
+    B, T, D = x.shape
+    hd = D // n_head
+    Tp = _round_up(T, 8)
+    GB = _pick_gb(B, Tp, D, x.dtype, backward=False)
+    g2, be2, w2, bq2 = _prep(x, lnp, attnp["w_qkv"], attnp["b_qkv"])
+    wo = attnp["w_out"].astype(x.dtype)
+    bo = attnp["b_out"].reshape(1, D).astype(x.dtype)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    blk = pl.BlockSpec((GB, Tp, D), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_outproj, n_head=n_head,
+            scale=1.0 / float(np.sqrt(hd)),
+            valid_T=None if Tp == T else T,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
+        grid=(B // GB,),
+        in_specs=[
+            blk,
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((D, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=blk,
+        interpret=_auto_interpret(interpret),
+    )(x, w2, bq2, g2, be2, wo, bo)
+    return out[:, :T] if Tp != T else out
+
+
+def _bwd_kernel(x_ref, w_ref, bq_ref, g_ref, be_ref, dy_ref, dx_ref,
+                dgam_ref, dbet_ref, *, n_head, scale, valid_T):
+    D = x_ref.shape[-1]
+    hd = D // n_head
+    # --- recompute the forward up to the attention probs (all in VMEM) ---
+    x32 = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (x32 - mu) * rstd
+    xn = (xhat * g_ref[...] + be_ref[...]).astype(x_ref.dtype)
+    qkv = jax.lax.dot_general(
+        xn, w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    # --- attention backward, folding d(QKV) through W^T per head so the
+    # (GB, Tp, 3D) gradient tensor is never materialized ---
+    dyln = jnp.zeros(x32.shape, jnp.float32)  # grad wrt the LN output
+    w = w_ref[...]
+    for i in range(n_head):
+        lo = i * hd
+        q = qkv[:, :, lo:lo + hd]
+        k = qkv[:, :, D + lo:D + lo + hd]
+        v = qkv[:, :, 2 * D + lo:2 * D + lo + hd]
+        g_h = dy_ref[:, :, lo:lo + hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_T is not None:
+            s = _key_mask(s, valid_T)
+        p32 = jax.nn.softmax(s, axis=-1)
+        p = p32.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            p, g_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p32 * (dp - jnp.sum(dp * p32, -1, keepdims=True))
+              * scale).astype(k.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_h = jnp.concatenate(
+            [dq.astype(x_ref.dtype), dk.astype(x_ref.dtype),
+             dv.astype(x_ref.dtype)], axis=-1,
+        )  # (GB, Tp, 3*hd)
+        w_h = jnp.concatenate(
+            [w[:, lo:lo + hd], w[:, D + lo:D + lo + hd],
+             w[:, 2 * D + lo:2 * D + lo + hd]], axis=-1,
+        )  # (D, 3*hd)
+        dyln = dyln + jax.lax.dot_general(
+            dqkv_h, w_h, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # --- LN parameter grads: accumulated across grid steps ---
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dgam_ref[...] = jnp.zeros_like(dgam_ref)
+        dbet_ref[...] = jnp.zeros_like(dbet_ref)
+
+    dgam_ref[...] += jnp.sum(dyln * xhat, axis=(0, 1))[None]
+    dbet_ref[...] += jnp.sum(dyln, axis=(0, 1))[None]
+    # --- LN backward to the raw input ---
+    dg = dyln * g_ref[...]
+    m1 = jnp.mean(dg, -1, keepdims=True)
+    m2 = jnp.mean(dg * xhat, -1, keepdims=True)
+    dx_ref[...] = (rstd * (dg - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _prep(x, lnp, w, b):
+    D = x.shape[-1]
+    g2 = lnp["scale"].reshape(1, D).astype(jnp.float32)
+    be2 = lnp["bias"].reshape(1, D).astype(jnp.float32)
+    w2 = w.astype(x.dtype)
+    bq2 = b.reshape(1, 3 * D).astype(x.dtype)
+    return g2, be2, w2, bq2
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def fused_ln_attention_fwd(x, lnp, w, b, n_head: int, interpret=None):
+    """LN1 -> QKV -> attention in one kernel.  ``x (B, T, D)``,
+    ``w (D, 3D)``, ``b (3D,)``; returns the pre-out-projection attention
+    output ``(B, T, D)``."""
+    B, T, D = x.shape
+    hd = D // n_head
+    Tp = _round_up(T, 8)
+    GB = _pick_gb(B, Tp, D, x.dtype, backward=False)
+    g2, be2, w2, bq2 = _prep(x, lnp, w, b)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    blk = pl.BlockSpec((GB, Tp, D), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, n_head=n_head, scale=1.0 / float(np.sqrt(hd)),
+            valid_T=None if Tp == T else T,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
+        grid=(B // GB,),
+        in_specs=[
+            blk,
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=blk,
+        interpret=_auto_interpret(interpret),
+    )(x, w2, bq2, g2, be2)
+    return out[:, :T] if Tp != T else out
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def fused_ln_attention_bwd(x, lnp, w, b, dy, n_head: int, interpret=None):
+    """(dx, dgamma, dbeta) for :func:`fused_ln_attention_fwd` — one kernel,
+    everything recomputed in VMEM from the raw input."""
+    B, T, D = x.shape
+    hd = D // n_head
+    Tp = _round_up(T, 8)
+    GB = _pick_gb(B, Tp, D, x.dtype, backward=True)
+    g2, be2, w2, bq2 = _prep(x, lnp, w, b)
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0))
+        x = jnp.pad(x, pad)
+        dy = jnp.pad(dy, pad)
+    blk = pl.BlockSpec((GB, Tp, D), lambda i: (i, 0, 0))
+    acc = pl.BlockSpec((1, D), lambda i: (0, 0))
+    dx, dgam, dbet = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, n_head=n_head, scale=1.0 / float(np.sqrt(hd)),
+            valid_T=None if Tp == T else T,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ),
+        grid=(B // GB,),
+        in_specs=[
+            blk,
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            blk,
+        ],
+        out_specs=(blk, acc, acc),
+        interpret=_auto_interpret(interpret),
+    )(x, w2, bq2, g2, be2, dy)
+    if Tp != T:
+        dx = dx[:, :T]
+    return dx, dgam[0], dbet[0]
+
+
+# --------------------------------------------------------------------------
+# fused LN2 -> MLP -> residual (inference towers only: no VJP is defined,
+# so differentiating through it raises loudly — callers guarantee the tower
+# is a constant subgraph, see ``encode_image(inference=True)``)
+# --------------------------------------------------------------------------
+
+
+def fused_ln_mlp_eligible(B: int, T: int, D: int, hidden: int) -> bool:
+    """Mask-free per-token op; needs lane-aligned D and the CLIP 4x MLP.
+    Shares the ``FMM_TPU_FUSED`` escape hatch with the attention kernel."""
+    if os.environ.get("FMM_TPU_FUSED", "1").lower() in ("0", "off", "false"):
+        return False
+    return _PALLAS_OK and D % 128 == 0 and hidden == 4 * D and B >= 1
+
+
+def _mlp_kernel(x_ref, g_ref, be_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref,
+                o_ref, *, n_chunks):
+    """out = x + QuickGELU(LN(x) @ w_fc + b_fc) @ w_proj + b_proj.
+
+    The full weights stay VMEM-resident across grid steps (they are
+    grid-invariant blocks); the (GB, Tp, 4D) hidden activation is never
+    materialized — it is produced and consumed in ``n_chunks`` column
+    slices of w_fc / row slices of w_proj, accumulating the projection
+    output in fp32.  This removes the two largest HBM round-trips of the
+    block (the 629 MB fc intermediate at ViT-B/16 vision shapes, plus the
+    LN materialization)."""
+    D = x_ref.shape[-1]
+    H = wfc_ref.shape[-1]
+    hc = H // n_chunks
+    x32 = x_ref[...].astype(jnp.float32)  # (GB, Tp, D)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+    xn = (xn * g_ref[...] + be_ref[...]).astype(x_ref.dtype)
+    acc = x32 + bpr_ref[...].astype(jnp.float32)
+    for c in range(n_chunks):
+        lo = c * hc
+        h = jax.lax.dot_general(
+            xn, wfc_ref[:, lo:lo + hc], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bfc_ref[:, lo:lo + hc].astype(jnp.float32)
+        h = (h * jax.nn.sigmoid(1.702 * h)).astype(x_ref.dtype)  # QuickGELU
+        acc = acc + jax.lax.dot_general(
+            h, wpr_ref[lo:lo + hc, :], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_ln_mlp_residual(x, lnp, mlpp, interpret=None):
+    """``x + mlp(layer_norm(x, ln_2), mlp_params)`` in one kernel.
+
+    Forward-only (no custom VJP — differentiation raises); inference
+    towers route here from ``ops.primitives.residual_block``.
+    """
+    B, T, D = x.shape
+    H = mlpp["w_fc"].shape[-1]
+    Tp = _round_up(T, 8)
+    # weights are VMEM-resident (9.4 MB bf16 at ViT-B/16): GB=1 with the
+    # hidden dim consumed in chunks keeps the step under ~14 MB; fp32
+    # needs finer chunking and GB stays 1 either way
+    GB = 1
+    cap = os.environ.get("FMM_TPU_FUSED_GB_MLP")
+    if cap is not None:
+        GB = max(g for g in range(1, int(cap) + 1) if B % g == 0)
+    n_chunks = 2 if jnp.dtype(x.dtype).itemsize <= 2 else 4
+    g2 = lnp["scale"].reshape(1, D).astype(jnp.float32)
+    be2 = lnp["bias"].reshape(1, D).astype(jnp.float32)
+    wfc = mlpp["w_fc"].astype(x.dtype)
+    bfc = mlpp["b_fc"].reshape(1, H).astype(x.dtype)
+    wpr = mlpp["w_proj"].astype(x.dtype)
+    bpr = mlpp["b_proj"].reshape(1, D).astype(x.dtype)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    blk = pl.BlockSpec((GB, Tp, D), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, n_chunks=n_chunks),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
+        grid=(B // GB,),
+        in_specs=[
+            blk,
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((D, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=blk,
+        interpret=_auto_interpret(interpret),
+    )(x, g2, be2, wfc, bfc, wpr, bpr)
+    return out[:, :T] if Tp != T else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_ln_attention(x, lnp, w, b, n_head: int):
+    """Differentiable fused LN1+QKV+attention for FROZEN-W blocks.
+
+    Cotangents: exact for ``x`` and the LN params; **zeros for w/b** (see
+    module docstring) — only route blocks whose attention weights are
+    frozen through this op.
+    """
+    return fused_ln_attention_fwd(x, lnp, w, b, n_head)
+
+
+def _fla_fwd(x, lnp, w, b, n_head):
+    return fused_ln_attention_fwd(x, lnp, w, b, n_head), (x, lnp, w, b)
+
+
+def _fla_bwd(n_head, res, dy):
+    x, lnp, w, b = res
+    dx, dgam, dbet = fused_ln_attention_bwd(x, lnp, w, b, dy, n_head)
+    dlnp = {
+        "scale": dgam.reshape(lnp["scale"].shape).astype(lnp["scale"].dtype),
+        "bias": dbet.reshape(lnp["bias"].shape).astype(lnp["bias"].dtype),
+    }
+    return dx, dlnp, jnp.zeros_like(w), jnp.zeros_like(b)
+
+
+fused_ln_attention.defvjp(_fla_fwd, _fla_bwd)

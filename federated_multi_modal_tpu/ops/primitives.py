@@ -58,6 +58,54 @@ def set_attention_impl(impl: str) -> None:
     _ATTENTION_IMPL = impl
 
 
+# Vision-tower attention weight-gradient policy, set by trainers before
+# tracing (same pattern as set_attention_impl).  ``None`` (default) means
+# "unknown — every block may need d(w_qkv)", which disables the fused
+# LN+QKV+attention kernel: its VJP returns zero weight cotangents by
+# design (ops/pallas/fused_block.py).  Trainers declare the set of vision
+# block indices whose attention weights ARE trainable; every other block
+# routes through the fused kernel when the impl is "pallas".  MaPLe
+# unfreezes only ``resblocks.{last}`` in each tower
+# (reference trainers/maple.py:447-479 -> {n_layers - 1}); CoOp/CoCoOp/
+# VPT/IVLP/zero-shot train no attention weights at all -> frozenset().
+_VISION_ATTN_WGRAD_BLOCKS = None
+
+
+def set_vision_attn_wgrad_blocks(blocks) -> None:
+    """``None`` = unknown (fused kernel disabled), ``"last"`` = only the
+    last block's attention weights are trainable (resolved against the
+    tower's block count at trace time), or an explicit iterable of
+    trainable block indices."""
+    global _VISION_ATTN_WGRAD_BLOCKS
+    if blocks is None or blocks == "last":
+        _VISION_ATTN_WGRAD_BLOCKS = blocks
+    else:
+        _VISION_ATTN_WGRAD_BLOCKS = frozenset(blocks)
+
+
+def get_vision_attn_wgrad_blocks(n_blocks: int = None):
+    """Resolved set of wgrad-needing block indices, or None if unknown."""
+    p = _VISION_ATTN_WGRAD_BLOCKS
+    if p == "last":
+        return None if n_blocks is None else frozenset({n_blocks - 1})
+    return p
+
+
+def fused_train_enabled() -> bool:
+    """Experimental gate: route frozen-W blocks through the fused
+    LN+QKV+attention kernel DURING TRAINING too.  Off by default — the
+    fused backward only fits VMEM at GB=1 on ViT-B/16 vision shapes, where
+    512 grid steps starve the MXU and the step as a whole loses ~8%
+    (1223 vs 1320 img/s, docs/BENCH.md).  Inference towers
+    (``encode_image(inference=True)``) always fuse; that path has no
+    backward and is a pure measured win."""
+    import os
+
+    return os.environ.get("FMM_TPU_FUSED_TRAIN", "0").lower() in (
+        "1", "on", "true",
+    )
+
+
 def multi_head_attention(
     x: jax.Array,
     p,
@@ -138,9 +186,50 @@ def residual_block(
     p,
     n_head: int,
     attn_mask: jax.Array = None,
+    attn_w_frozen: bool = False,
+    inference: bool = False,
 ) -> jax.Array:
     """Pre-LN transformer block (``ResidualAttentionBlock`` semantics,
-    reference ``clip/model.py:167-198``)."""
+    reference ``clip/model.py:167-198``).
+
+    ``attn_w_frozen=True`` asserts that d(w_qkv)/d(b_qkv) of THIS block are
+    never consumed (the block's attention weights are frozen), which
+    unlocks the fused LN+QKV+attention kernel on the mask-free path — its
+    VJP is exact for x and the LN params but returns zero weight
+    cotangents (ops/pallas/fused_block.py).
+
+    ``inference=True`` additionally asserts that NO cotangent ever flows
+    through the block (eval fast paths, frozen feature towers): the MLP
+    half then also fuses (LN2 + fc + QuickGELU + proj + residual in one
+    kernel, no VJP defined — differentiating it raises loudly).
+    """
+    if attn_w_frozen and attn_mask is None and _ATTENTION_IMPL == "pallas":
+        from federated_multi_modal_tpu.ops.pallas.fused_block import (
+            fused_ln_attention,
+            fused_ln_attention_eligible,
+            fused_ln_mlp_eligible,
+            fused_ln_mlp_residual,
+        )
+
+        B, T, D = x.shape
+        if fused_ln_attention_eligible(B, T, D, n_head, attn_mask):
+            if inference:
+                from federated_multi_modal_tpu.ops.pallas.fused_block import (
+                    fused_ln_attention_residual,
+                )
+
+                x = fused_ln_attention_residual(x, p["ln_1"], p["attn"],
+                                                n_head)
+                if fused_ln_mlp_eligible(B, T, D, p["mlp"]["w_fc"].shape[-1]):
+                    return fused_ln_mlp_residual(x, p["ln_2"], p["mlp"])
+                x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
+                return x
+            a = fused_ln_attention(
+                x, p["ln_1"], p["attn"]["w_qkv"], p["attn"]["b_qkv"], n_head
+            )
+            x = x + linear(a, p["attn"]["w_out"], p["attn"]["b_out"])
+            x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
+            return x
     x = x + multi_head_attention(layer_norm(x, p["ln_1"]), p["attn"], n_head, attn_mask)
     x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
     return x

@@ -37,6 +37,9 @@ from federated_multi_modal_tpu.trainers.common import (
 @TRAINER_REGISTRY.register()
 class CoCoOp(FunctionalTrainerMixin, TrainerX):
 
+    # only prompt_learner trains (reference trainers/cocoop.py:245-249)
+    ATTN_WGRAD_VISION = frozenset()
+
     def check_cfg(self, cfg):
         assert cfg.TRAINER.COCOOP.PREC in ("fp16", "fp32", "amp", "bf16")
 
@@ -98,7 +101,11 @@ class CoCoOp(FunctionalTrainerMixin, TrainerX):
             pl = trainable["prompt_learner"]
             pc = frozen["prompt_const"]
 
-            img = encode_image(frozen["clip"]["visual"], arch, images)  # (B, E)
+            # frozen, prompt-free tower: img is a constant wrt the
+            # trainable pytree (it only feeds the meta-net's INPUT), so no
+            # cotangent reaches encode_image -> inference fusion is safe
+            img = encode_image(frozen["clip"]["visual"], arch, images,
+                               inference=True)  # (B, E)
             img_n = l2_normalize(img)
 
             h = apply_linear(pl["meta_net"]["linear1"], img_n)

@@ -37,6 +37,9 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
     """Learning to Prompt for Vision-Language Models
     (https://arxiv.org/abs/2109.01134)."""
 
+    # only the prompt learner trains (reference trainers/coop.py:249-251)
+    ATTN_WGRAD_VISION = frozenset()
+
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.COOP.PREC in ("fp16", "fp32", "amp", "bf16")
@@ -115,7 +118,10 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
 
         def logits_fn(trainable, frozen, images):
             txt = text_features(trainable, frozen)
-            img = encode_image(frozen["clip"]["visual"], arch, images)
+            # the image tower is frozen AND prompt-free: no cotangent can
+            # reach it even under jax.grad -> inference fusion is safe
+            img = encode_image(frozen["clip"]["visual"], arch, images,
+                               inference=True)
             return cosine_logits(img, txt, frozen["clip"]["logit_scale"])
 
         def loss_fn(trainable, frozen, batch):
@@ -133,7 +139,8 @@ class CoOp(FunctionalTrainerMixin, TrainerX):
             return text_features(trainable, frozen)
 
         def eval_apply_fn(trainable, frozen, images, txt):
-            img = encode_image(frozen["clip"]["visual"], arch, images)
+            img = encode_image(frozen["clip"]["visual"], arch, images,
+                               inference=True)
             return cosine_logits(img, txt, frozen["clip"]["logit_scale"])
 
         self.eval_prepare_fn = eval_prepare_fn

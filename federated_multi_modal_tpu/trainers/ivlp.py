@@ -35,6 +35,10 @@ from federated_multi_modal_tpu.trainers.common import (
 @TRAINER_REGISTRY.register()
 class IVLP(FunctionalTrainerMixin, TrainerX):
 
+    # prompt_learner + VPT-named params train (reference
+    # trainers/independentVL.py:204-210) — no attention weights
+    ATTN_WGRAD_VISION = frozenset()
+
     def check_cfg(self, cfg):
         assert cfg.TRAINER.IVLP.PREC in ("fp16", "fp32", "amp", "bf16")
         assert cfg.TRAINER.IVLP.PROMPT_DEPTH_TEXT >= 1, (
@@ -165,6 +169,7 @@ class IVLP(FunctionalTrainerMixin, TrainerX):
                 frozen["clip"]["visual"], arch, images,
                 shallow_prompts=trainable["vpt"].get("shallow"),
                 deep_prompts=trainable["vpt"].get("deep"),
+                inference=True,
             )
             return cosine_logits(img, txt, frozen["clip"]["logit_scale"])
 

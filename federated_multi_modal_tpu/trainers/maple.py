@@ -198,6 +198,7 @@ def make_maple_eval_fns(arch, depth: int, text_len: int):
             m["clip"]["visual"], arch, images,
             shallow_prompts=prep["shared_ctx"],
             deep_prompts=prep["vis_deep"],
+            inference=True,
         )
         return prep["scale"] * l2_normalize(img) @ prep["txt_n"].T
 
@@ -221,6 +222,11 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
     """Single-site MaPLe trainer, usable standalone or wrapped by
     ``MaPLeFederated`` (which injects a ClientDataManager and the unified
     classnames, ``trainers/maple_fed.py:164-176``)."""
+
+    # unfreeze policy trains visual resblocks.{last} only (reference
+    # trainers/maple.py:447-479; maple_trainable_predicate) — every other
+    # vision block takes the fused frozen-W attention kernel
+    ATTN_WGRAD_VISION = "last"
 
     def __init__(self, cfg, client_id: Optional[int] = None,
                  classnames: Optional[List[str]] = None, dm=None,

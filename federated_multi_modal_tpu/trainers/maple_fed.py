@@ -72,6 +72,8 @@ def copy_tree(tree):
 
 @TRAINER_REGISTRY.register()
 class MaPLeFederated(TrainerX):
+    ATTN_WGRAD_VISION = "last"  # clients are MaPLe trainers
+
     def __init__(self, cfg):
         self.lab2cname = {}
         self.num_clients = cfg.FED.NUM_CLIENTS

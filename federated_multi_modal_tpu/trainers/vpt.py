@@ -30,6 +30,9 @@ from federated_multi_modal_tpu.tokenizer import tokenize
 @TRAINER_REGISTRY.register()
 class VPT(FunctionalTrainerMixin, TrainerX):
 
+    # only VPT-named params train (reference trainers/vpt.py:139-145)
+    ATTN_WGRAD_VISION = frozenset()
+
     def check_cfg(self, cfg):
         assert cfg.TRAINER.VPT.PREC in ("fp16", "fp32", "amp", "bf16")
         assert cfg.TRAINER.VPT.PROMPT_DEPTH_VISION >= 1, (
@@ -99,6 +102,24 @@ class VPT(FunctionalTrainerMixin, TrainerX):
                 logits, batch["label"]
             ).mean()
             return loss, {}
+
+        # eval fast path: text features are fixed (frozen), so prepare is
+        # trivial — the point is routing the image tower through the fused
+        # inference kernels (no cotangents exist at eval time)
+        def eval_prepare_fn(trainable, frozen):
+            return frozen["text_features"]
+
+        def eval_apply_fn(trainable, frozen, images, txt):
+            img = encode_image(
+                frozen["clip"]["visual"], arch, images,
+                shallow_prompts=trainable["vpt"]["shallow"],
+                deep_prompts=trainable["vpt"]["deep"],
+                inference=True,
+            )
+            return cosine_logits(img, txt, frozen["clip"]["logit_scale"])
+
+        self.eval_prepare_fn = eval_prepare_fn
+        self.eval_apply_fn = eval_apply_fn
 
         self.logits_fn = logits_fn
         self.loss_fn = loss_fn

@@ -25,6 +25,9 @@ from federated_multi_modal_tpu.trainers.templates import (
 
 @TRAINER_REGISTRY.register()
 class ZeroshotCLIP(TrainerX):
+    # eval-only: nothing trains
+    ATTN_WGRAD_VISION = frozenset()
+
     def build_model(self):
         cfg = self.cfg
         classnames = self.dm.dataset.classnames
@@ -49,7 +52,8 @@ class ZeroshotCLIP(TrainerX):
         # the remote-compile HTTP limit on tunnel backends (CLAUDE.md).
         @jax.jit
         def _infer(clip_params, text_features, images):
-            img = encode_image(clip_params["visual"], arch, images)
+            img = encode_image(clip_params["visual"], arch, images,
+                               inference=True)
             img = l2_normalize(img)
             scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
             return scale * img @ text_features.T

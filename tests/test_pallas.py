@@ -408,3 +408,295 @@ def test_fused_lnqkv_attention_bwd_dx_matches_autodiff(rng):
     np.testing.assert_allclose(
         np.asarray(got_dx), np.asarray(ref_dx), atol=2e-5, rtol=2e-5
     )
+
+
+# --------------------------------------------------------------------------
+# production fused LN+QKV+attention (ops/pallas/fused_block.py)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("T", [16, 13])  # aligned + padded token counts
+def test_fused_ln_attention_production(rng, T):
+    """The production fused op (fwd + custom VJP) matches LN -> QKV matmul
+    -> XLA attention exactly in fp32, including dgamma/dbeta accumulated
+    across grid steps and the padded-T key masking."""
+    import jax
+
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas.attention import _xla_attention
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_ln_attention,
+    )
+
+    B, D, H = 4, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lnp = {
+        "scale": jnp.asarray(
+            (rng.standard_normal(D) * 0.1 + 1).astype(np.float32)),
+        "bias": jnp.asarray(
+            (rng.standard_normal(D) * 0.1).astype(np.float32)),
+    }
+    w = jnp.asarray((rng.standard_normal((D, 3 * D)) * 0.05).astype(
+        np.float32))
+    b = jnp.asarray((rng.standard_normal(3 * D) * 0.05).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    def ref(x, lnp):
+        qkv = P.linear(P.layer_norm(x, lnp), w, b)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return _xla_attention(q, k, v, H, None)
+
+    got = fused_ln_attention(x, lnp, w, b, H)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref(x, lnp)), atol=2e-5, rtol=2e-5
+    )
+
+    g_got = jax.grad(
+        lambda x, lnp: jnp.sum(fused_ln_attention(x, lnp, w, b, H) * co),
+        argnums=(0, 1),
+    )(x, lnp)
+    g_ref = jax.grad(
+        lambda x, lnp: jnp.sum(ref(x, lnp) * co), argnums=(0, 1)
+    )(x, lnp)
+    for a, r in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=5e-5, rtol=5e-5
+        )
+    # contract: weight cotangents are zeros (frozen-W blocks only)
+    dw = jax.grad(
+        lambda w: jnp.sum(fused_ln_attention(x, lnp, w, b, H) * co)
+    )(w)
+    assert float(jnp.max(jnp.abs(dw))) == 0.0
+
+
+@pytest.mark.parametrize("T", [16, 13])  # aligned + padded token counts
+def test_fused_ln_mlp_residual_matches_unfused(rng, T):
+    """The inference MLP kernel (LN2 -> fc -> QuickGELU -> proj -> residual
+    in one pallas_call) matches the unfused primitives exactly in fp32,
+    with the hidden dim consumed in column chunks."""
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_ln_mlp_residual,
+    )
+
+    B, D = 4, 128
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lnp = {
+        "scale": jnp.asarray(
+            (rng.standard_normal(D) * 0.1 + 1).astype(np.float32)),
+        "bias": jnp.asarray(
+            (rng.standard_normal(D) * 0.1).astype(np.float32)),
+    }
+    mlpp = {
+        "w_fc": jnp.asarray(
+            (rng.standard_normal((D, 4 * D)) * 0.05).astype(np.float32)),
+        "b_fc": jnp.asarray(
+            (rng.standard_normal(4 * D) * 0.05).astype(np.float32)),
+        "w_proj": jnp.asarray(
+            (rng.standard_normal((4 * D, D)) * 0.05).astype(np.float32)),
+        "b_proj": jnp.asarray(
+            (rng.standard_normal(D) * 0.05).astype(np.float32)),
+    }
+    ref = x + P.mlp(P.layer_norm(x, lnp), mlpp)
+    got = fused_ln_mlp_residual(x, lnp, mlpp)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("T", [16, 13])  # aligned + padded token counts
+def test_residual_block_inference_matches_xla(rng, T):
+    """residual_block(inference=True) under the pallas impl (fused
+    attention+out-proj+residual kernel, then fused LN2+MLP+residual
+    kernel) matches the plain XLA block forward."""
+    from federated_multi_modal_tpu.ops import primitives as P
+
+    B, D, H = 4, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    p = {
+        "ln_1": {"scale": jnp.ones(D), "bias": jnp.zeros(D)},
+        "ln_2": {
+            "scale": jnp.asarray(
+                (rng.standard_normal(D) * 0.1 + 1).astype(np.float32)),
+            "bias": jnp.asarray(
+                (rng.standard_normal(D) * 0.1).astype(np.float32)),
+        },
+        "attn": {
+            "w_qkv": jnp.asarray(
+                (rng.standard_normal((D, 3 * D)) * 0.05).astype(np.float32)),
+            "b_qkv": jnp.zeros(3 * D),
+            "w_out": jnp.asarray(
+                (rng.standard_normal((D, D)) * 0.05).astype(np.float32)),
+            "b_out": jnp.zeros(D),
+        },
+        "mlp": {
+            "w_fc": jnp.asarray(
+                (rng.standard_normal((D, 4 * D)) * 0.05).astype(np.float32)),
+            "b_fc": jnp.zeros(4 * D),
+            "w_proj": jnp.asarray(
+                (rng.standard_normal((4 * D, D)) * 0.05).astype(np.float32)),
+            "b_proj": jnp.zeros(D),
+        },
+    }
+    ref = P.residual_block(x, p, H, None)
+    P.set_attention_impl("pallas")
+    try:
+        got = P.residual_block(x, p, H, None, attn_w_frozen=True,
+                               inference=True)
+    finally:
+        P.set_attention_impl("xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_residual_block_fused_path_matches_autodiff(rng):
+    """residual_block(attn_w_frozen=True) under the pallas impl computes the
+    same output and (x, ln_1, ln_2, mlp) grads as the plain XLA block."""
+    import jax
+
+    from federated_multi_modal_tpu.ops import primitives as P
+
+    B, T, D, H = 4, 16, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    p = {
+        "ln_1": {"scale": jnp.ones(D), "bias": jnp.zeros(D)},
+        "ln_2": {"scale": jnp.ones(D), "bias": jnp.zeros(D)},
+        "attn": {
+            "w_qkv": jnp.asarray(
+                (rng.standard_normal((D, 3 * D)) * 0.05).astype(np.float32)),
+            "b_qkv": jnp.zeros(3 * D),
+            "w_out": jnp.asarray(
+                (rng.standard_normal((D, D)) * 0.05).astype(np.float32)),
+            "b_out": jnp.zeros(D),
+        },
+        "mlp": {
+            "w_fc": jnp.asarray(
+                (rng.standard_normal((D, 4 * D)) * 0.05).astype(np.float32)),
+            "b_fc": jnp.zeros(4 * D),
+            "w_proj": jnp.asarray(
+                (rng.standard_normal((4 * D, D)) * 0.05).astype(np.float32)),
+            "b_proj": jnp.zeros(D),
+        },
+    }
+    co = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    def diffable(p):  # grads wrt everything EXCEPT the attention weights
+        return {"ln_1": p["ln_1"], "ln_2": p["ln_2"], "mlp": p["mlp"]}
+
+    def run(frozen_flag):
+        def loss(x, dp):
+            full = dict(p, **dp)
+            return jnp.sum(
+                P.residual_block(x, full, H, None, attn_w_frozen=frozen_flag)
+                * co
+            )
+
+        out = P.residual_block(x, p, H, None, attn_w_frozen=frozen_flag)
+        grads = jax.grad(loss, argnums=(0, 1))(x, diffable(p))
+        return out, grads
+
+    P.set_attention_impl("pallas")
+    try:
+        out_f, g_f = run(True)
+    finally:
+        P.set_attention_impl("xla")
+    out_r, g_r = run(False)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_r), atol=2e-5, rtol=2e-5
+    )
+    for a, r in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=5e-5, rtol=5e-5
+        )
+
+
+def test_vision_attn_wgrad_policy_matches_trainable_split():
+    """The 'last' policy trainers declare is exactly what the MaPLe unfreeze
+    predicate makes trainable: attention weights of visual.blocks.{L-1}
+    only (reference trainers/maple.py:447-479)."""
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.trainers.maple import (
+        maple_trainable_predicate,
+    )
+
+    L = 3
+    pred = maple_trainable_predicate(L, L)
+    P.set_vision_attn_wgrad_blocks("last")
+    try:
+        resolved = P.get_vision_attn_wgrad_blocks(L)
+    finally:
+        P.set_vision_attn_wgrad_blocks(None)
+    assert resolved == frozenset({L - 1})
+    for i in range(L):
+        trainable = pred(f"visual.blocks.{i}.attn.w_qkv")
+        assert trainable == (i in resolved)
+    # prompt-only trainers declare frozenset(): no attention weight trains
+    from federated_multi_modal_tpu.trainers.cocoop import CoCoOp
+    from federated_multi_modal_tpu.trainers.coop import CoOp
+    from federated_multi_modal_tpu.trainers.ivlp import IVLP
+    from federated_multi_modal_tpu.trainers.maple import MaPLe
+    from federated_multi_modal_tpu.trainers.vpt import VPT
+    from federated_multi_modal_tpu.trainers.zsclip import ZeroshotCLIP
+
+    assert MaPLe.ATTN_WGRAD_VISION == "last"
+    for cls in (CoOp, CoCoOp, VPT, IVLP, ZeroshotCLIP):
+        assert cls.ATTN_WGRAD_VISION == frozenset()
+
+
+def test_maple_grads_fused_policy_end_to_end(rng):
+    """Full MaPLe loss + grads on the trainable pytree are unchanged when
+    the frozen-W vision blocks route through the fused kernel (Tiny
+    backbone, fp32, interpreter mode)."""
+    import jax
+
+    from federated_multi_modal_tpu.flagship import (
+        build_maple_program,
+        example_batch,
+    )
+    from federated_multi_modal_tpu.ops import primitives as P
+
+    def to_fp32(tree):  # floats only — token-id leaves stay integer
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.inexact) else x,
+            tree,
+        )
+
+    def build():
+        prog = build_maple_program(
+            backbone="Tiny", classnames=["cat", "dog", "bird"],
+            n_ctx=2, depth=2, use_captions=True, seed=0,
+        )
+        # fp32 everywhere for a tight comparison
+        prog["trainable"] = to_fp32(prog["trainable"])
+        prog["frozen"] = to_fp32(prog["frozen"])
+        return prog
+
+    batch = None
+
+    def grads_for(impl, policy):
+        nonlocal batch
+        P.set_attention_impl(impl)
+        P.set_vision_attn_wgrad_blocks(policy)
+        try:
+            prog = build()
+            if batch is None:
+                batch = example_batch(prog["arch"], batch_size=4, n_cls=3)
+                batch["image"] = batch["image"].astype(jnp.float32)
+            loss, _ = prog["loss_fn"](prog["trainable"], prog["frozen"], batch)
+            g = jax.grad(
+                lambda t: prog["loss_fn"](t, prog["frozen"], batch)[0]
+            )(prog["trainable"])
+            return float(loss), g
+        finally:
+            P.set_attention_impl("xla")
+            P.set_vision_attn_wgrad_blocks(None)
+
+    loss_ref, g_ref = grads_for("xla", None)
+    loss_fused, g_fused = grads_for("pallas", "last")
+    assert abs(loss_ref - loss_fused) < 1e-5
+    for a, r in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=1e-4, rtol=1e-3
+        )

@@ -68,9 +68,15 @@ def main(args):
 
     arch, params = load_clip_backbone(cfg.MODEL)
 
+    # params passed as an argument, not closed over: baked-in pytrees blow
+    # the remote-compile HTTP limit on tunnel backends (CLAUDE.md)
     @jax.jit
+    def _extract(visual, images):
+        # pure feature extraction: no grads ever -> fused inference tower
+        return encode_image_auto(visual, arch, images, inference=True)
+
     def extract(images):
-        return encode_image_auto(params["visual"], arch, images)
+        return _extract(params["visual"], images)
 
     features, labels = [], []
     for batch in loader:
