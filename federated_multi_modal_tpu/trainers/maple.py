@@ -286,6 +286,17 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
         from federated_multi_modal_tpu.trainers.common import apply_prec
 
         clip_params = apply_prec(tcfg.PREC, clip_params)
+        # The reference's CustomCLIP REPLACES CLIP's logit_scale with a
+        # fresh parameter initialized to ln(1/0.07) (trainers/maple.py:227)
+        # which the unfreeze policy then leaves frozen — so MaPLe trains
+        # with scale exp(2.659)~14.3 even when the loaded CLIP checkpoint
+        # carries the saturated 4.6052 (exp clamped to 100).  Reproduce
+        # that exactly: shallow-copy (the tree may be shared across
+        # federated clients) and pin the leaf.
+        clip_params = dict(clip_params)
+        clip_params["logit_scale"] = jnp.asarray(
+            np.log(1.0 / 0.07), jnp.float32
+        )
         n_ctx = tcfg.N_CTX
         depth = tcfg.PROMPT_DEPTH
         assert depth >= 1, "For MaPLe, PROMPT_DEPTH should be >= 1"
