@@ -36,12 +36,18 @@ import numpy as np
 A100_BASELINE_IPS = 16000 * 5 / 3600.0  # ~22.2 img/s (docs/RUN.md:8-10)
 
 
-def _emit(metric, ips, extra=""):
+def _emit(metric, ips, extra="", host_free=True):
+    # The two caveat fields make the artifact self-describing: the A100
+    # baseline rate INCLUDES dataloading (reference docs/RUN.md:8-10),
+    # while every mode except ``loader`` measures a host-free on-device
+    # step loop — the honest apples-to-apples number is ``--mode loader``.
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / A100_BASELINE_IPS, 2),
+        "baseline_includes_dataloading": True,
+        "this_run_host_free": host_free,
     }))
     if extra:
         print(f"# {extra}", file=sys.stderr)
@@ -570,6 +576,7 @@ def run_loader(args):
         f"loss={loss_val:.4f} (host decode and the device step overlap via "
         f"the prefetch thread; device transfers ride the axon tunnel here, "
         f"PCIe on a real host)",
+        host_free=False,
     )
 
 

@@ -35,6 +35,12 @@ except ImportError:
     pass
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running learning/integration tests"
+    )
+
+
 def pytest_sessionstart(session):
     assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
     assert jax.device_count() == 8, "expected 8 virtual CPU devices"

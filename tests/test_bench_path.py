@@ -149,5 +149,11 @@ def test_bench_cli_modes_smoke(tmp_path):
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         assert len(lines) == 1, (extra, out.stdout)
         rec = json.loads(lines[0])
-        assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+        assert set(rec) == {
+            "metric", "value", "unit", "vs_baseline",
+            "baseline_includes_dataloading", "this_run_host_free",
+        }
         assert rec["value"] > 0
+        assert rec["baseline_includes_dataloading"] is True
+        # loader mode is the only one that runs the host pipeline
+        assert rec["this_run_host_free"] is (extra[1] != "loader")
