@@ -259,11 +259,12 @@ def test_ivlp_towers_match_reference(ref):
 CLASSNAMES = ["golden retriever", "forest", "parking lot", "river delta"]
 
 
-@pytest.fixture(scope="module")
-def maple_pair(ref):
+def build_maple_pair(ref, classnames):
     """(reference CustomCLIP, our converted trees) over the same weights.
     d_text=512 / d_vis=768 are REQUIRED by the reference prompt learner's
-    hard-coded projection dims (trainers/maple.py:111-125)."""
+    hard-coded projection dims (trainers/maple.py:111-125).  ``classnames``
+    parameterizes the prompt-learner vocabulary (the federated-round golden
+    needs the aggregator's sorted-union order)."""
     from federated_multi_modal_tpu.config import get_cfg_default
 
     design = {"trainer": "MaPLe", "vision_depth": 0, "language_depth": 0,
@@ -282,7 +283,7 @@ def maple_pair(ref):
         clip_model = ref.model.build_model(
             {k: v.clone() for k, v in sd.items()}, design).float().eval()
         torch.manual_seed(7)
-        cc = ref.maple.CustomCLIP(cfg, CLASSNAMES, clip_model)
+        cc = ref.maple.CustomCLIP(cfg, classnames, clip_model)
 
     arch = infer_config_from_state_dict(sd)
     params = convert_torch_state_dict(sd, arch, dtype_policy=False)
@@ -317,6 +318,11 @@ def maple_pair(ref):
         "logit_scale": float(cc.logit_scale.detach().item()),
     }
     return cc, arch, params, pl, const
+
+
+@pytest.fixture(scope="module")
+def maple_pair(ref):
+    return build_maple_pair(ref, CLASSNAMES)
 
 
 def test_maple_prompt_constants_match_reference(ref, maple_pair):

@@ -22,6 +22,8 @@ same generalization ``maple_trainable_predicate`` makes.
 """
 
 import copy
+import os
+from collections import defaultdict
 
 import numpy as np
 import pytest
@@ -31,9 +33,18 @@ import jax
 import jax.numpy as jnp
 
 from reference_harness import fp32_reference, our_tokenizer_with
-from test_reference_golden import CLASSNAMES, maple_pair, ref  # noqa: F401
+from test_engine import _DasslWarmupWrapper
+from test_reference_golden import (  # noqa: F401
+    CLASSNAMES,
+    build_maple_pair,
+    maple_pair,
+    ref,
+)
 
 from federated_multi_modal_tpu.config import get_cfg_default
+from federated_multi_modal_tpu.data.dataset_base import DatasetBase
+from federated_multi_modal_tpu.data.datum import Datum
+from federated_multi_modal_tpu.engine.registry import DATASET_REGISTRY
 
 LR = 0.05
 MOMENTUM = 0.9
@@ -324,3 +335,414 @@ def test_maple_train_trajectory_matches_reference(ref, maple_pair, tmp_path):
             d_ours, d_ref, atol=max(1e-7, 2e-3 * scale),
             err_msg=f"update trajectory diverges at {name} "
                     f"(|d_ref|max={scale:.3e})")
+
+
+# ===========================================================================
+# Composed multi-round FEDERATED trajectory golden (round-3 verdict task 1).
+#
+# Every piece of the round loop was verified separately in round 2 (FedAvg
+# scrub golden, validity-gate golden, broadcast momentum/LR quirk test,
+# scheduler-vs-torch golden, 3-step single-client trajectory golden); this
+# composes them: our REAL ``MaPLeFederated.train()`` — broadcast with
+# optimizer-state deletion + scheduler-rebuild quirk
+# (``/root/reference/trainers/maple_fed.py:327-339``), per-round
+# ``[r*L, (r+1)*L)`` epoch windows (``:249-250``), per-client local epochs,
+# weight-validity gate + reset-to-global (``:271-277``), FedAvg via the
+# EXECUTED reference ``safe_average_weights`` (``:309-315``), post-round
+# broadcast (``:293-294``) — against a torch mirror built on the executed
+# reference ``CustomCLIP``, batch-for-batch.
+#
+# Inputs parity: the exact post-transform image/label batches our clients
+# consume are captured at the ``train_step`` boundary and replayed through
+# the torch mirror, so both sides train on bit-identical inputs while the
+# round MECHANICS (what this test is about) run independently on each side.
+#
+# LR semantics: warmup(1, constant) + cosine ACTIVE, crossing epoch
+# boundaries inside every round.  The expected per-epoch LR table is
+# derived from torch machinery (CosineAnnealingLR + the Dassl warmup
+# wrapper goldened in test_engine.py), with the broadcast rebuild quirk —
+# first local epoch of every round at the epoch-0 (warmup) LR — applied as
+# documented in ``trainers/maple_fed.py::broadcast_weights``.
+# ===========================================================================
+
+GOLDEN_FED_CLASSNAMES = [
+    "forest", "golden retriever", "parking lot", "river delta",
+]  # alphabetically sorted: the aggregator's sorted-union order == this
+FED_LR = 0.05
+FED_CONS_LR = 0.01
+FED_LOCAL_EPOCHS = 2
+
+
+@DATASET_REGISTRY.register()
+class GoldenFedSynthetic(DatasetBase):
+    """Tiny deterministic dataset whose classnames equal the golden
+    CustomCLIP vocabulary (sorted, so the aggregator's unification is the
+    identity map)."""
+
+    N_TRAIN, N_VAL, N_TEST = 2, 1, 2
+
+    def __init__(self, cfg):
+        from PIL import Image
+
+        root = os.path.abspath(os.path.expanduser(cfg.DATASET.ROOT))
+        base = os.path.join(root, "golden_fed_synth")
+        rng = np.random.default_rng(5)
+        train, val, test = [], [], []
+        n = self.N_TRAIN + self.N_VAL + self.N_TEST
+        for label, cname in enumerate(GOLDEN_FED_CLASSNAMES):
+            cdir = os.path.join(base, cname.replace(" ", "_"))
+            os.makedirs(cdir, exist_ok=True)
+            for i in range(n):
+                p = os.path.join(cdir, f"img_{i}.png")
+                arr = rng.integers(0, 255, (64, 64, 3), np.uint8)
+                if not os.path.exists(p):
+                    Image.fromarray(arr).save(p)
+                d = Datum(impath=p, label=label, classname=cname)
+                (train if i < self.N_TRAIN
+                 else val if i < self.N_TRAIN + self.N_VAL
+                 else test).append(d)
+        super().__init__(train_x=train, val=val, test=test)
+
+
+def _fed_cfg(tmp_path, num_rounds):
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path / "data")
+    cfg.DATASET.NAME = "GoldenFedSynthetic"
+    cfg.MODEL.BACKBONE.NAME = "ViT-B/16"  # unused: backbone loader patched
+    cfg.INPUT.SIZE = (64, 64)
+    cfg.INPUT.CANVAS_SIZE = 72
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 8
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    cfg.TRAIN.PRINT_FREQ = 100
+    cfg.TRAINER.NAME = "MaPLeFederated"
+    cfg.TRAINER.MAPLE.N_CTX = 2
+    cfg.TRAINER.MAPLE.PROMPT_DEPTH = 3
+    cfg.TRAINER.MAPLE.CTX_INIT = "a photo of a"
+    cfg.TRAINER.MAPLE.PREC = "fp32"
+    cfg.TRAINER.MAPLE.USE_CAPTIONS = False
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = FED_LR
+    cfg.OPTIM.MOMENTUM = MOMENTUM
+    cfg.OPTIM.WEIGHT_DECAY = WEIGHT_DECAY
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = FED_CONS_LR
+    cfg.OPTIM.MAX_EPOCH = num_rounds * FED_LOCAL_EPOCHS
+    cfg.FED.NUM_CLIENTS = 2
+    cfg.FED.NUM_ROUNDS = num_rounds
+    cfg.FED.LOCAL_EPOCHS = FED_LOCAL_EPOCHS
+    cfg.FED.DATASETS = ("GoldenFedSynthetic", "GoldenFedSynthetic")
+    cfg.FED.CLASSNAME_ONLY_DATASETS = ()
+    cfg.FED.PARALLEL_CLIENTS = False
+    cfg.TPU.DATA_PARALLEL = False
+    return cfg
+
+
+def _torch_lr_table(base_lr, max_epoch, warmup_epoch, cons_lr):
+    """Per-global-epoch LR from TORCH machinery (CosineAnnealingLR + the
+    Dassl warmup wrapper goldened at test_engine.py:98)."""
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    successor = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=max_epoch)
+    w = _DasslWarmupWrapper(opt, successor, warmup_epoch, "constant",
+                            cons_lr=cons_lr, base_lr=base_lr)
+    table = []
+    for _ in range(max_epoch + 1):
+        table.append(w.lr())
+        w.step()
+    return table
+
+
+def _build_fed(ref, arch, params, pl, tmp_path, num_rounds):
+    """The REAL aggregator over the converted reference weights, its
+    random prompt learner replaced by the reference's via the round-0
+    broadcast of ``global_weights``."""
+    import federated_multi_modal_tpu.trainers  # noqa: F401 (registry)
+    from federated_multi_modal_tpu.trainers import maple_fed as mf
+
+    cfg = _fed_cfg(tmp_path, num_rounds)
+    orig_loader = mf.load_clip_backbone
+    mf.load_clip_backbone = lambda model_cfg: (arch, params)
+    try:
+        with our_tokenizer_with(ref.bpe_path):
+            fed = mf.MaPLeFederated(cfg)
+    finally:
+        mf.load_clip_backbone = orig_loader
+
+    fed.global_weights["prompt_learner"] = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float32), pl
+    )
+    # divergent clients: same tiny dataset, different loader RNG stream
+    # (batch order AND random-resized-crop boxes/flips differ)
+    fed.clients[1].train_loader_x.rng = np.random.default_rng(99)
+    return fed
+
+
+def _instrument_clients(fed, inject_nan_at=None):
+    """Capture every (client, epoch) -> [(images_fp32, labels)] batch at
+    the train_step boundary, the per-step LR, and per-epoch avg losses.
+    ``inject_nan_at=(client, epoch)`` poisons that client's trainable AFTER
+    the epoch (the aggregator's validity gate must catch it)."""
+    captured = defaultdict(list)   # (client, epoch) -> [(img, lbl)]
+    lr_log = defaultdict(list)     # (client, epoch) -> [lr per step]
+    epoch_losses = defaultdict(list)  # client -> [avg_loss per epoch]
+    current_epoch = {}
+
+    for i, cl in enumerate(fed.clients):
+        def make_step(i, cl, orig_step):
+            def wrapped(step):
+                key = (i, current_epoch[i])
+                captured[key].append((
+                    np.asarray(step["image"], np.float32),
+                    np.asarray(step["label"], np.int64),
+                ))
+                lr_log[key].append(float(cl.get_current_lr()))
+                return orig_step(step)
+            return wrapped
+
+        def make_epoch(i, cl, orig_epoch):
+            def wrapped(epoch=None):
+                current_epoch[i] = epoch
+                res = orig_epoch(epoch)
+                epoch_losses[i].append(res["avg_loss"])
+                if inject_nan_at == (i, epoch):
+                    bad = np.asarray(
+                        cl.trainable["prompt_learner"]["ctx"], np.float32
+                    ).copy()
+                    bad[0, 0] = np.nan
+                    cl.trainable["prompt_learner"]["ctx"] = jnp.asarray(bad)
+                return res
+            return wrapped
+
+        cl.train_step = make_step(i, cl, cl.train_step)
+        cl.run_epoch = make_epoch(i, cl, cl.run_epoch)
+    return captured, lr_log, epoch_losses
+
+
+def _run_torch_mirror(ref, cc_golden, captured, num_rounds,
+                      invalid_at=None):
+    """Restate the reference round loop (maple_fed.py:228-303) with torch
+    machinery on the executed-reference CustomCLIP, consuming the captured
+    batches.  Returns (final_global_model, per-client epoch losses,
+    per-epoch expected LR table)."""
+    L = FED_LOCAL_EPOCHS
+    table = _torch_lr_table(FED_LR, num_rounds * L, 1, FED_CONS_LR)
+
+    clients = [copy.deepcopy(cc_golden) for _ in range(2)]
+    opts = []
+    for mc in clients:
+        _freeze_like_reference(mc)
+        opts.append(torch.optim.SGD(
+            [p for p in mc.parameters() if p.requires_grad],
+            lr=FED_LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY))
+
+    def set_lr(opt, v):
+        for g in opt.param_groups:
+            g["lr"] = v
+
+    global_sd = {k: v.clone() for k, v in cc_golden.state_dict().items()}
+    epoch_losses = defaultdict(list)
+    duck = object.__new__(ref.maple_fed.MaPLeFederated)
+
+    with fp32_reference():
+        for r in range(num_rounds):
+            # 1) broadcast: load global, delete momentum, scheduler-rebuild
+            #    quirk -> LR at the epoch-0 (warmup) value (:327-339)
+            for mc, opt in zip(clients, opts):
+                mc.load_state_dict(global_sd, strict=True)
+                opt.state.clear()
+                set_lr(opt, table[0])
+
+            # 2) per-client local epochs over the global window (:249-257)
+            for c, (mc, opt) in enumerate(zip(clients, opts)):
+                mc.train()
+                for ep in range(r * L, (r + 1) * L):
+                    if ep > r * L:
+                        set_lr(opt, table[ep])
+                    losses = []
+                    for imgs, labels in captured[(c, ep)]:
+                        loss = mc(
+                            torch.from_numpy(imgs).permute(0, 3, 1, 2),
+                            torch.from_numpy(labels))
+                        opt.zero_grad()
+                        loss.backward()
+                        torch.nn.utils.clip_grad_norm_(
+                            mc.parameters(), max_norm=1.0,
+                            error_if_nonfinite=False)
+                        opt.step()
+                        losses.append(float(loss.item()))
+                    epoch_losses[c].append(sum(losses) / len(losses))
+
+            # 3) validity gate + FedAvg via the EXECUTED reference
+            #    safe_average_weights (:271-277, :309-315)
+            sds = [{k: v.clone() for k, v in mc.state_dict().items()}
+                   for mc in clients]
+            valid = [c for c in range(2)
+                     if invalid_at != (c, r)]
+            for c in range(2):
+                if c not in valid:  # reset to the OLD global (:277)
+                    clients[c].load_state_dict(global_sd, strict=True)
+            global_sd = ref.maple_fed.MaPLeFederated.safe_average_weights(
+                duck, [sds[c] for c in valid], len(valid))
+            # 4) post-round broadcast + test (:293-298) — weight-neutral
+            #    (next round's step-1 broadcast repeats it); skipped here.
+
+    final = copy.deepcopy(cc_golden)
+    final.load_state_dict(global_sd, strict=True)
+    return final, epoch_losses, table
+
+
+def _compare_global_deltas(fed_final, cc_init, mirror_final, total_steps):
+    """Per-leaf global-weight deltas ours vs mirror (same view mapping as
+    the single-client trajectory golden)."""
+    init_ours = _snap(_our_trainable_view(fed_final["init"]))
+    final_ours = _snap(_our_trainable_view(fed_final["final"]))
+    with torch.no_grad():
+        init_ref = _snap(_torch_trainable_view(cc_init))
+        final_ref = _snap(_torch_trainable_view(mirror_final))
+
+    flat_o0 = jax.tree_util.tree_leaves(init_ours)
+    flat_o1 = jax.tree_util.tree_leaves(final_ours)
+    flat_r0 = jax.tree_util.tree_leaves(init_ref)
+    flat_r1 = jax.tree_util.tree_leaves(final_ref)
+    paths = jax.tree_util.tree_flatten_with_path(init_ours)[0]
+    assert len(flat_o0) == len(flat_r0) == len(flat_o1) == len(flat_r1)
+
+    moved = 0.0
+    for (path, _), o0, o1, r0, r1 in zip(paths, flat_o0, flat_o1, flat_r0,
+                                         flat_r1):
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            o0, r0, atol=1e-6, err_msg=f"initial global differs at {name}")
+        d_ours, d_ref = o1 - o0, r1 - r0
+        if "proj_vis_to_lang" in name:
+            # documented deviation (see the single-client golden): torch
+            # skips the None-grad param entirely; ours decays it
+            assert np.all(np.abs(d_ref) == 0.0)
+            bound = (FED_LR * WEIGHT_DECAY * (np.abs(o0) + 1e-3)
+                     * total_steps / (1 - MOMENTUM) * 1.5)
+            assert np.all(np.abs(d_ours) <= bound), name
+            continue
+        moved = max(moved, float(np.max(np.abs(d_ref))))
+        scale = max(1e-8, float(np.max(np.abs(d_ref))))
+        np.testing.assert_allclose(
+            d_ours, d_ref, atol=max(1e-7, 3e-3 * scale),
+            err_msg=f"federated trajectory diverges at {name} "
+                    f"(|d_ref|max={scale:.3e})")
+    assert moved > 0.0, "global weights never moved"
+
+
+def _assert_lr_trajectory(lr_log, table, num_rounds):
+    """Broadcast quirk + per-epoch continuation: first local epoch of each
+    round at table[0], epoch r*L+k (k>=1) at table[r*L+k]."""
+    L = FED_LOCAL_EPOCHS
+    for (c, ep), lrs in lr_log.items():
+        expect = table[0] if ep % L == 0 else table[ep]
+        for lr in lrs:
+            assert lr == pytest.approx(expect, rel=1e-6), (
+                f"client {c} epoch {ep}: lr {lr} != {expect}")
+
+
+def test_federated_round_trajectory_matches_reference(ref, tmp_path):
+    """3 rounds x 2 clients x 2 local epochs of the REAL MaPLeFederated
+    vs the torch mirror on the executed reference CustomCLIP."""
+    NUM_ROUNDS = 3
+    cc_golden, arch, params, pl, const = build_maple_pair(
+        ref, GOLDEN_FED_CLASSNAMES)
+
+    fed = _build_fed(ref, arch, params, pl, tmp_path, NUM_ROUNDS)
+    # prompt constants derive from the same tokenizer + embeddings — this
+    # also pins that the aggregator's sorted-union class order equals the
+    # mirror's vocabulary order
+    np.testing.assert_allclose(
+        np.asarray(fed.clients[0].const.token_prefix),
+        cc_golden.prompt_learner.token_prefix.detach().numpy(), atol=1e-6)
+
+    captured, lr_log, epoch_losses = _instrument_clients(fed)
+    init_global = _snap_tree(fed.global_weights)
+    fed.train()
+
+    # the round loop ran fully: every (client, epoch) window has batches
+    assert set(captured) == {
+        (c, ep) for c in range(2)
+        for ep in range(NUM_ROUNDS * FED_LOCAL_EPOCHS)
+    }
+    # divergent clients: the reseeded loader gave client 1 different data
+    assert any(
+        a[0].shape != b[0].shape or not np.array_equal(a[0], b[0])
+        for a, b in zip(captured[(0, 0)], captured[(1, 0)])
+    )
+    assert fed.nan_stats["total_updates"] == NUM_ROUNDS
+    assert fed.nan_stats["skipped_rounds"] == 0
+    assert fed.nan_stats["failed_clients"] == []
+
+    mirror_final, mirror_losses, table = _run_torch_mirror(
+        ref, cc_golden, captured, NUM_ROUNDS)
+
+    _assert_lr_trajectory(lr_log, table, NUM_ROUNDS)
+    for c in range(2):
+        np.testing.assert_allclose(
+            epoch_losses[c], mirror_losses[c], rtol=2e-4, atol=5e-4,
+            err_msg=f"client {c} per-epoch losses diverge")
+    # client losses must actually differ (divergence is real)
+    assert not np.allclose(epoch_losses[0], epoch_losses[1])
+
+    total_steps = sum(len(v) for v in captured.values()) // 2
+    _compare_global_deltas(
+        {"init": init_global, "final": fed.global_weights},
+        cc_golden, mirror_final, total_steps)
+
+
+def test_federated_round_nan_client_gate_matches_reference(ref, tmp_path):
+    """Same composition with a NaN injected into client 1's weights at the
+    end of round 0: the validity gate must exclude it from FedAvg and reset
+    it to the old global (reference :271-277), and the remaining trajectory
+    must still match the mirror."""
+    NUM_ROUNDS = 2
+    INJECT = (1, FED_LOCAL_EPOCHS - 1)  # client 1, last epoch of round 0
+    cc_golden, arch, params, pl, const = build_maple_pair(
+        ref, GOLDEN_FED_CLASSNAMES)
+
+    fed = _build_fed(ref, arch, params, pl, tmp_path, NUM_ROUNDS)
+    captured, lr_log, epoch_losses = _instrument_clients(
+        fed, inject_nan_at=INJECT)
+    init_global = _snap_tree(fed.global_weights)
+    fed.train()
+
+    # gate composition: the round still aggregated (client 0 valid), no
+    # round skipped, no client marked failed (weights invalid != RuntimeError)
+    assert fed.nan_stats["total_updates"] == NUM_ROUNDS
+    assert fed.nan_stats["skipped_rounds"] == 0
+    assert fed.nan_stats["failed_clients"] == []
+    # the global stayed finite through the poisoned round
+    assert all(
+        np.isfinite(np.asarray(x)).all()
+        for x in jax.tree_util.tree_leaves(fed.global_weights)
+        if x is not None
+    )
+
+    mirror_final, mirror_losses, table = _run_torch_mirror(
+        ref, cc_golden, captured, NUM_ROUNDS, invalid_at=(1, 0))
+
+    _assert_lr_trajectory(lr_log, table, NUM_ROUNDS)
+    for c in range(2):
+        np.testing.assert_allclose(
+            epoch_losses[c], mirror_losses[c], rtol=2e-4, atol=5e-4,
+            err_msg=f"client {c} per-epoch losses diverge")
+
+    total_steps = sum(len(v) for v in captured.values()) // 2
+    _compare_global_deltas(
+        {"init": init_global, "final": fed.global_weights},
+        cc_golden, mirror_final, total_steps)
+
+
+def _snap_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else np.array(np.asarray(x), np.float64),
+        tree, is_leaf=lambda x: x is None,
+    )
