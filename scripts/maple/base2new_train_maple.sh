@@ -1,14 +1,15 @@
 #!/bin/bash
 # Base-to-novel: train on base classes (16-shot).
-# Usage: base2new_train_maple.sh <dataset> <seed>
+# Usage: base2new_train_maple.sh <dataset> <seed> [extra cfg opts...]
+# CFG/SHOTS/OUTROOT env-overridable (defaults match the reference run).
 DATA=${DATA:-$HOME/data}
 TRAINER=MaPLe
 DATASET=$1
 SEED=$2
-CFG=vit_b16_c2_ep5_batch4_2ctx
-SHOTS=16
+CFG=${CFG:-vit_b16_c2_ep5_batch4_2ctx}
+SHOTS=${SHOTS:-16}
 
-DIR=output/base2new/train_base/${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}
+DIR=${OUTROOT:-output}/base2new/train_base/${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}
 if [ -d "$DIR" ]; then
     echo "Results are available in ${DIR}. Resuming..."
 fi
@@ -20,4 +21,5 @@ python train.py \
     --config-file configs/trainers/${TRAINER}/${CFG}.yaml \
     --output-dir ${DIR} \
     DATASET.NUM_SHOTS ${SHOTS} \
-    DATASET.SUBSAMPLE_CLASSES base
+    DATASET.SUBSAMPLE_CLASSES base \
+    "${@:3}"

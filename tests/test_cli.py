@@ -85,3 +85,73 @@ def test_init_weights_loading(tmp_path):
     np.testing.assert_allclose(
         np.asarray(t2.trainable["prompt_learner"]["ctx"]), 0.5
     )
+
+
+def test_base2new_scripts_end_to_end(tmp_path):
+    """L6 script-level integration (round-3 verdict task 5): run the REAL
+    ``scripts/maple/base2new_train_maple.sh`` + ``base2new_test_maple.sh``
+    (Tiny backbone, Synthetic, 1 epoch), then ``parse_test_res.py
+    --base2new`` over the produced output tree.  Pins the base2new dir
+    layout (``/root/reference/scripts/maple/base2new_train_maple.sh:16-38``)
+    and the prefix/suffix class-transfer contract
+    (``trainers/maple.py:683-716``) through the actual CLI."""
+    import os
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_name = "vit_b16_c2_ep5_batch4_2ctx"
+    env = dict(os.environ)
+    env.update(
+        DATA=str(tmp_path / "data"),
+        OUTROOT=str(tmp_path / "output"),
+        CFG=cfg_name,
+        SHOTS="2",
+        LOADEP="1",
+        FMM_TPU_PLATFORM="cpu",
+    )
+    overrides = [
+        "MODEL.BACKBONE.NAME", "Tiny",
+        "INPUT.SIZE", "(32, 32)",
+        "INPUT.CANVAS_SIZE", "40",
+        "TRAINER.MAPLE.PROMPT_DEPTH", "3",
+        "TRAINER.MAPLE.PREC", "fp32",
+        "OPTIM.MAX_EPOCH", "1",
+        "DATALOADER.TEST.BATCH_SIZE", "8",
+        "TPU.DATA_PARALLEL", "False",
+        "VERBOSE", "False",
+    ]
+    for script in ("base2new_train_maple.sh", "base2new_test_maple.sh"):
+        out = subprocess.run(
+            ["bash", os.path.join(repo, "scripts", "maple", script),
+             "synthetic", "1"] + overrides,
+            capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+        )
+        assert out.returncode == 0, (
+            script, out.stdout[-2000:], out.stderr[-2000:]
+        )
+
+    common = os.path.join(str(tmp_path / "output"), "base2new")
+    base_dir = os.path.join(
+        common, "train_base", "synthetic", "shots_2", "MaPLe", cfg_name)
+    new_dir = os.path.join(
+        common, "test_new", "synthetic", "shots_2", "MaPLe", cfg_name)
+    assert os.path.isfile(os.path.join(base_dir, "seed1", "log.txt"))
+    assert os.path.isfile(os.path.join(new_dir, "seed1", "log.txt"))
+    # checkpoint under the registered model name, reference pth.tar naming
+    assert os.path.isfile(os.path.join(
+        base_dir, "seed1", "MultiModalPromptLearner", "model.pth.tar-1"))
+
+    agg = tmp_path / "agg"
+    agg.mkdir()
+    os.symlink(base_dir, agg / "base")
+    os.symlink(new_dir, agg / "new")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "parse_test_res.py"),
+         str(agg), "--base2new", "--test-log"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    hm = re.search(r"\* H: ([\d.]+)%", out.stdout)
+    assert hm, out.stdout
+    assert float(hm.group(1)) >= 0.0

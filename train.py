@@ -8,6 +8,16 @@ order: dataset yaml -> trainer yaml -> CLI flags -> freeform opts
 """
 
 import argparse
+import os
+
+# FMM_TPU_PLATFORM=cpu forces the host platform before the backend
+# initializes (some site configurations register a default accelerator
+# backend that ignores the JAX_PLATFORMS env var; jax.config wins when
+# applied pre-init).  Used by the script-level CI tests.
+if os.environ.get("FMM_TPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["FMM_TPU_PLATFORM"])
 
 from federated_multi_modal_tpu.config import get_cfg_default
 from federated_multi_modal_tpu.engine import build_trainer
