@@ -122,6 +122,7 @@ class DataLoader:
         prefetch_depth: int = 2,
         cache_decoded: bool = True,
         cache_budget_bytes: int = 4 << 30,
+        decode_threads: Optional[int] = None,
     ):
         self.data_source = list(data_source)
         self.batch_size = batch_size
@@ -133,6 +134,10 @@ class DataLoader:
         self.drop_last = is_train if drop_last is None else drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch_depth = prefetch_depth
+        # native batch-decode thread count (the reference's NUM_WORKERS
+        # analogue, but threads in one process instead of forked torch
+        # workers); None = all cores
+        self.decode_threads = decode_threads
         self.epoch = 0
         # Decoded-canvas cache (device pipeline only): augmentation happens
         # on device from the uint8 canvas, so caching the canvas is
@@ -233,6 +238,7 @@ class DataLoader:
             out = _native.decode_batch(
                 paths, tfm.canvas, tfm.interp_name,
                 crop_square=getattr(tfm, "crop_square", False),
+                n_threads=self.decode_threads,
             )
             if out is not None:
                 canvases, statuses = out

@@ -47,6 +47,7 @@ def build_data_loader(
         drop_last=drop_last,
         seed=max(cfg.SEED, 0),
         prefetch_depth=getattr(cfg.TPU, "PREFETCH_DEPTH", 2),
+        decode_threads=int(getattr(cfg.DATALOADER, "NUM_WORKERS", 0)) or None,
         cache_decoded=getattr(cfg.DATALOADER, "CANVAS_CACHE", True),
         cache_budget_bytes=int(
             getattr(cfg.DATALOADER, "CANVAS_CACHE_BUDGET_GB", 4.0) * (1 << 30)
