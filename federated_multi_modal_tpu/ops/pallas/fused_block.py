@@ -478,6 +478,174 @@ def fused_ln_mlp_residual(x, lnp, mlpp, interpret=None):
     return out[:, :T] if Tp != T else out
 
 
+# --------------------------------------------------------------------------
+# whole-block fused inference kernel: LN1 -> QKV -> attention -> out-proj ->
+# +x -> LN2 -> fc -> QuickGELU -> proj -> +y, ONE pallas_call per block.
+#
+# Design note (round-3 verdict task 3): the two-kernel fast path makes a
+# full (B, T, D) HBM write+read between the attention and MLP halves
+# (~2x157 MB per block at bench shapes).  The roadmap sized a
+# "stream-MLP-weights-through-a-second-grid-dimension" merge, but that
+# design REFETCHES the streamed weights once per batch block:
+# (B/GB) * ~15 MB >> the 314 MB it saves, a structural net loss.  Instead
+# ALL block weights (~15 MB bf16 at ViT-B/16) stay VMEM-resident as
+# grid-invariant blocks and the kernel raises ``vmem_limit_bytes`` past
+# Mosaic's default scoped budget (v5e has 128 MB of physical VMEM; the
+# default limit is what capped the round-2 kernels at ~16 MB).  The
+# attention-half intermediate ``y`` then lives in fp32 VMEM only.
+# --------------------------------------------------------------------------
+
+
+def fused_block_eligible(B, T, D, n_head, hidden, attn_mask) -> bool:
+    """Whole-block fusion: both halves must be eligible, plus the
+    ``FMM_TPU_FUSED_BLOCK`` escape hatch (A/B benching)."""
+    if os.environ.get("FMM_TPU_FUSED_BLOCK", "1").lower() in (
+            "0", "off", "false"):
+        return False
+    return (
+        fused_ln_attention_eligible(B, T, D, n_head, attn_mask)
+        and fused_ln_mlp_eligible(B, T, D, hidden)
+    )
+
+
+def _block_kernel(x_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref,
+                  g2_ref, b2_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref,
+                  o_ref, *, n_head, scale, valid_T, n_chunks):
+    D = x_ref.shape[-1]
+    H = wfc_ref.shape[-1]
+    hd = D // n_head
+    hc = H // n_chunks
+    # ---- attention half: y = x + b_out + attn(ln1(x)) @ w_out ----
+    x32 = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+    xn = (xn * g1_ref[...] + b1_ref[...]).astype(x_ref.dtype)
+    qkv = jax.lax.dot_general(
+        xn, w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    outs = []
+    for i in range(n_head):
+        lo = i * hd
+        q = qkv[:, :, lo:lo + hd]
+        k = qkv[:, :, D + lo:D + lo + hd]
+        v = qkv[:, :, 2 * D + lo:2 * D + lo + hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_T is not None:
+            s = _key_mask(s, valid_T)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x_ref.dtype)
+        )
+    # one K=D projection dot (per-head K=hd folding measured -5% e2e:
+    # M=200/K=64 dots sit at the known per-head MXU cap)
+    a = jnp.concatenate(outs, axis=-1)
+    y = x32 + bo_ref[...].astype(jnp.float32) + jax.lax.dot_general(
+        a, wo_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # ---- MLP half: out = y + b_proj + gelu(ln2(y) @ w_fc + b_fc) @ w_proj
+    # (y stays fp32 in VMEM — the two-kernel path rounded it to bf16
+    # through HBM; this is strictly closer to the unfused fp32 math) ----
+    mu2 = jnp.mean(y, -1, keepdims=True)
+    var2 = jnp.mean(jnp.square(y - mu2), -1, keepdims=True)
+    xn2 = (y - mu2) * jax.lax.rsqrt(var2 + 1e-5)
+    xn2 = (xn2 * g2_ref[...] + b2_ref[...]).astype(x_ref.dtype)
+    acc = y + bpr_ref[...].astype(jnp.float32)
+    for c in range(n_chunks):
+        lo = c * hc
+        h = jax.lax.dot_general(
+            xn2, wfc_ref[:, lo:lo + hc], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bfc_ref[:, lo:lo + hc].astype(jnp.float32)
+        h = (h * jax.nn.sigmoid(1.702 * h)).astype(x_ref.dtype)  # QuickGELU
+        acc = acc + jax.lax.dot_general(
+            h, wpr_ref[lo:lo + hc, :], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def fused_block_residual(x, p, n_head: int, interpret=None):
+    """The FULL pre-LN transformer block (reference
+    ``clip/model.py:167-198``) as one kernel: exactly one HBM read (x) and
+    one HBM write per block on the inference fast path.
+
+    Forward-only (no custom VJP — differentiation raises); inference
+    towers route here from ``ops.primitives.residual_block``.
+    """
+    B, T, D = x.shape
+    H = p["mlp"]["w_fc"].shape[-1]
+    hd = D // n_head
+    Tp = _round_up(T, 8)
+    # GB sweep on the v5e (same session, docs/BENCH.md): GB=2 wins — 4060
+    # img/s eval e2e vs 3979 (GB=1) / 3698 (GB=4) / 3868 (GB=8) / 3790
+    # (two-kernel baseline).  The small working set pipelines best once
+    # the weights are resident.
+    GB = int(os.environ.get("FMM_TPU_FUSED_GB_BLK", "2"))
+    GB = max(g for g in range(1, min(GB, B) + 1) if B % g == 0)
+    n_chunks = 2 if jnp.dtype(x.dtype).itemsize <= 2 else 4
+    g1, b1, w2, bq2 = _prep(x, p["ln_1"], p["attn"]["w_qkv"],
+                            p["attn"]["b_qkv"])
+    wo = p["attn"]["w_out"].astype(x.dtype)
+    bo = p["attn"]["b_out"].reshape(1, D).astype(x.dtype)
+    g2 = p["ln_2"]["scale"].reshape(1, D).astype(jnp.float32)
+    b2 = p["ln_2"]["bias"].reshape(1, D).astype(jnp.float32)
+    wfc = p["mlp"]["w_fc"].astype(x.dtype)
+    bfc = p["mlp"]["b_fc"].reshape(1, H).astype(x.dtype)
+    wpr = p["mlp"]["w_proj"].astype(x.dtype)
+    bpr = p["mlp"]["b_proj"].reshape(1, D).astype(x.dtype)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    blk = pl.BlockSpec((GB, Tp, D), lambda i: (i, 0, 0))
+    row = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    compiler_params = None
+    if not _auto_interpret(interpret):
+        from jax.experimental.pallas import tpu as pltpu
+
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                os.environ.get("FMM_TPU_FUSED_VMEM", 100 << 20)
+            ),
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _block_kernel, n_head=n_head, scale=1.0 / float(np.sqrt(hd)),
+            valid_T=None if Tp == T else T, n_chunks=n_chunks,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
+        grid=(B // GB,),
+        in_specs=[
+            blk,
+            row((D, 3 * D)),
+            row((1, 3 * D)),
+            row((1, D)),
+            row((1, D)),
+            row((D, D)),
+            row((1, D)),
+            row((1, D)),
+            row((1, D)),
+            row((D, H)),
+            row((1, H)),
+            row((H, D)),
+            row((1, D)),
+        ],
+        out_specs=blk,
+        interpret=_auto_interpret(interpret),
+        compiler_params=compiler_params,
+    )(x, w2, bq2, g1, b1, wo, bo, g2, b2, wfc, bfc, wpr, bpr)
+    return out[:, :T] if Tp != T else out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_ln_attention(x, lnp, w, b, n_head: int):
     """Differentiable fused LN1+QKV+attention for FROZEN-W blocks.

@@ -215,12 +215,18 @@ def residual_block(
         if fused_ln_attention_eligible(B, T, D, n_head, attn_mask):
             if inference:
                 from federated_multi_modal_tpu.ops.pallas.fused_block import (
+                    fused_block_eligible,
+                    fused_block_residual,
                     fused_ln_attention_residual,
                 )
 
+                hidden = p["mlp"]["w_fc"].shape[-1]
+                if fused_block_eligible(B, T, D, n_head, hidden, attn_mask):
+                    # whole block in ONE kernel: one HBM read + one write
+                    return fused_block_residual(x, p, n_head)
                 x = fused_ln_attention_residual(x, p["ln_1"], p["attn"],
                                                 n_head)
-                if fused_ln_mlp_eligible(B, T, D, p["mlp"]["w_fc"].shape[-1]):
+                if fused_ln_mlp_eligible(B, T, D, hidden):
                     return fused_ln_mlp_residual(x, p["ln_2"], p["mlp"])
                 x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
                 return x

@@ -700,3 +700,66 @@ def test_maple_grads_fused_policy_end_to_end(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), atol=1e-4, rtol=1e-3
         )
+
+
+@pytest.mark.parametrize("T", [16, 13])  # aligned + padded token counts
+def test_fused_block_residual_matches_unfused(rng, T):
+    """The whole-block inference kernel (LN1 -> QKV -> attention ->
+    out-proj -> +x -> LN2 -> fc -> QuickGELU -> proj -> +y in ONE
+    pallas_call, round-3 verdict task 3) matches the unfused primitives in
+    fp32, including nonzero biases and key-padding."""
+    import os
+
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_eligible,
+        fused_block_residual,
+    )
+
+    B, D, H = 4, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    def vec(n, s=0.05):
+        return jnp.asarray((rng.standard_normal(n) * s).astype(np.float32))
+
+    p = {
+        "ln_1": {"scale": vec(D, 0.1) + 1, "bias": vec(D, 0.1)},
+        "ln_2": {"scale": vec(D, 0.1) + 1, "bias": vec(D, 0.1)},
+        "attn": {
+            "w_qkv": jnp.asarray(
+                (rng.standard_normal((D, 3 * D)) * 0.05).astype(np.float32)),
+            "b_qkv": vec(3 * D),
+            "w_out": jnp.asarray(
+                (rng.standard_normal((D, D)) * 0.05).astype(np.float32)),
+            "b_out": vec(D),
+        },
+        "mlp": {
+            "w_fc": jnp.asarray(
+                (rng.standard_normal((D, 4 * D)) * 0.05).astype(np.float32)),
+            "b_fc": vec(4 * D),
+            "w_proj": jnp.asarray(
+                (rng.standard_normal((4 * D, D)) * 0.05).astype(np.float32)),
+            "b_proj": vec(D),
+        },
+    }
+    assert fused_block_eligible(B, T, D, H, 4 * D, None)
+    ref = P.residual_block(x, p, H, None)
+    got = fused_block_residual(x, p, H)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+    # escape hatch: FMM_TPU_FUSED_BLOCK=0 falls back to the two-kernel
+    # path, which must also still match
+    os.environ["FMM_TPU_FUSED_BLOCK"] = "0"
+    P.set_attention_impl("pallas")
+    try:
+        assert not fused_block_eligible(B, T, D, H, 4 * D, None)
+        two = P.residual_block(x, p, H, None, attn_w_frozen=True,
+                               inference=True)
+    finally:
+        del os.environ["FMM_TPU_FUSED_BLOCK"]
+        P.set_attention_impl("xla")
+    np.testing.assert_allclose(
+        np.asarray(two), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
