@@ -509,6 +509,7 @@ def run_loader(args):
     loss_fn = prog["loss_fn"]
     ocfg = get_cfg_default()
     ocfg.OPTIM.LR = 0.0026
+    ocfg.OPTIM.GRAD_CLIP_NORM = 1.0  # MaPLe's trainer-level clip
     tx = build_optimizer(ocfg.OPTIM)
     opt_state = tx.init(prog["trainable"])
     frozen = prog["frozen"]
@@ -680,6 +681,7 @@ def main():
 
     cfg = get_cfg_default()
     cfg.OPTIM.LR = 0.0026
+    cfg.OPTIM.GRAD_CLIP_NORM = 1.0  # MaPLe's trainer-level clip
     tx = build_optimizer(cfg.OPTIM)
     opt_state = tx.init(prog["trainable"])
     loss_fn = prog["loss_fn"]

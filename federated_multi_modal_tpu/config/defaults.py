@@ -141,7 +141,11 @@ def get_cfg_default() -> CN:
     cfg.OPTIM.WARMUP_CONS_LR = 1e-5
     cfg.OPTIM.WARMUP_MIN_LR = 1e-5
     cfg.OPTIM.WARMUP_RECOUNT = True
-    cfg.OPTIM.GRAD_CLIP_NORM = 1.0  # reference clips max-norm 1.0 (maple.py:577)
+    # 0 = no clipping, matching the Dassl trainers (CoOp/CoCoOp/VPT/IVLP
+    # run plain backward+step).  MaPLe is the ONLY reference trainer that
+    # clips (hard-coded max-norm 1.0, maple.py:577) and forces it at the
+    # trainer level (GRAD_CLIP_OVERRIDE), not through this knob.
+    cfg.OPTIM.GRAD_CLIP_NORM = 0.0
 
     # ------------------------------------------------------------------ train
     cfg.TRAIN = CN()

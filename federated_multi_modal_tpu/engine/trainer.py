@@ -501,10 +501,21 @@ class FunctionalTrainerMixin:
     and call ``self.setup_optimization()``.
     """
 
+    # trainer-level grad-clip override: None = follow cfg.OPTIM.
+    # GRAD_CLIP_NORM (the Dassl trainers never clip); MaPLe sets 1.0 — the
+    # reference hard-codes its clip in the trainer (maple.py:577), not in
+    # the config, so the override wins over the knob.
+    GRAD_CLIP_OVERRIDE: float | None = None
+
     def setup_optimization(self):
         cfg = self.cfg
-        self.sched_fn = build_lr_schedule(cfg.OPTIM)
-        self.tx = build_optimizer(cfg.OPTIM, learning_rate=self.sched_fn(0))
+        cfg_optim = cfg.OPTIM
+        if self.GRAD_CLIP_OVERRIDE is not None:
+            cfg_optim = cfg_optim.clone()
+            cfg_optim.defrost()
+            cfg_optim.GRAD_CLIP_NORM = float(self.GRAD_CLIP_OVERRIDE)
+        self.sched_fn = build_lr_schedule(cfg_optim)
+        self.tx = build_optimizer(cfg_optim, learning_rate=self.sched_fn(0))
         self.opt_state = self.tx.init(self.trainable)
         self.lr_history = [self.sched_fn(0)]
         # NaN bookkeeping mirroring the reference's fp16 failure machinery

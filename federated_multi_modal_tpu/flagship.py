@@ -172,4 +172,7 @@ def example_batch(arch, batch_size: int = 4, n_cls: int = 10,
 def build_fed_optimizer(lr: float = 0.0026):
     cfg = get_cfg_default()
     cfg.OPTIM.LR = lr
+    # MaPLe's trainer-level clip (reference maple.py:577; the cfg default
+    # is 0 because the Dassl trainers never clip)
+    cfg.OPTIM.GRAD_CLIP_NORM = 1.0
     return build_optimizer(cfg.OPTIM, learning_rate=lr)

@@ -348,13 +348,22 @@ def cosine_logits(
     image_features: jax.Array,
     text_features: jax.Array,
     logit_scale: jax.Array,
-    max_scale: float = 100.0,
+    max_scale: float | None = None,
 ) -> jax.Array:
-    """``clamp(exp(logit_scale)) * norm(img) @ norm(txt)^T`` in fp32
-    (reference ``trainers/maple.py:325, 340-346``)."""
+    """``exp(logit_scale) * norm(img) @ norm(txt)^T`` in fp32.
+
+    Unclamped by default: the Dassl trainers (CoOp/CoCoOp/VPT/IVLP/zsclip)
+    all use a plain ``logit_scale.exp()`` (reference ``trainers/coop.py:
+    208-209``, ``vpt.py:102-109``, ``independentVL.py:166-174``).  MaPLe
+    is the ONLY trainer that clamps (``.exp().clamp(max=100)``, reference
+    ``trainers/maple.py:325``) and does so in its own loss closure
+    (``trainers/maple.py`` here), not through this helper; pass
+    ``max_scale`` to opt in."""
     from federated_multi_modal_tpu.ops.primitives import l2_normalize
 
     img = l2_normalize(image_features)
     txt = l2_normalize(text_features)
-    scale = jnp.clip(jnp.exp(logit_scale.astype(jnp.float32)), None, max_scale)
+    scale = jnp.exp(logit_scale.astype(jnp.float32))
+    if max_scale is not None:
+        scale = jnp.clip(scale, None, max_scale)
     return scale * jnp.matmul(img, txt.T, preferred_element_type=jnp.float32)

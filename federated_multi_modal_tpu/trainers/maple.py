@@ -227,6 +227,10 @@ class MaPLe(FunctionalTrainerMixin, TrainerX):
     # trainers/maple.py:447-479; maple_trainable_predicate) — every other
     # vision block takes the fused frozen-W attention kernel
     ATTN_WGRAD_VISION = "last"
+    # the reference hard-codes clip_grad_norm_(max_norm=1.0) in its
+    # forward_backward (trainers/maple.py:577,592) — MaPLe is the only
+    # trainer that clips
+    GRAD_CLIP_OVERRIDE = 1.0
 
     def __init__(self, cfg, client_id: Optional[int] = None,
                  classnames: Optional[List[str]] = None, dm=None,

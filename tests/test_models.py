@@ -142,10 +142,16 @@ def test_cosine_logits_scale_clamp(tiny):
     rng = np.random.default_rng(3)
     img = rng.standard_normal((4, 16)).astype(np.float32)
     txt = rng.standard_normal((7, 16)).astype(np.float32)
+    # default: UNCLAMPED exp, like the Dassl trainers (coop.py:208-209)
     logits = cosine_logits(jnp.asarray(img), jnp.asarray(txt), jnp.asarray(10.0))
     assert logits.shape == (4, 7)
-    # exp(10) >> 100 so the clamp caps magnitudes at 100
-    assert np.abs(np.asarray(logits)).max() <= 100.0 + 1e-4
+    assert np.abs(np.asarray(logits)).max() > 100.0
+    # opt-in clamp (MaPLe's .exp().clamp(max=100), maple.py:325)
+    clamped = cosine_logits(jnp.asarray(img), jnp.asarray(txt),
+                            jnp.asarray(10.0), max_scale=100.0)
+    assert np.abs(np.asarray(clamped)).max() <= 100.0 + 1e-4
+    ratio = np.asarray(logits) / np.asarray(clamped)
+    np.testing.assert_allclose(ratio, np.exp(10.0) / 100.0, rtol=1e-5)
 
 
 # ---------------------------------------------------------------------------

@@ -746,3 +746,618 @@ def _snap_tree(tree):
         lambda x: None if x is None else np.array(np.asarray(x), np.float64),
         tree, is_leaf=lambda x: x is None,
     )
+
+
+# ===========================================================================
+# CoOp training-trajectory golden (round 3): extends training-math parity
+# beyond MaPLe.  The reference CoOp trainer does a PLAIN backward + SGD
+# step — NO grad clipping (Dassl's model_backward_and_update,
+# /root/reference/trainers/coop.py:274-277; only MaPLe hard-codes
+# clip_grad_norm_, maple.py:577) — over the prompt learner's ctx alone
+# (coop.py:240-251).  This golden found and pins the distinction: our
+# OPTIM.GRAD_CLIP_NORM default is 0 and MaPLe forces its clip at the
+# trainer level (GRAD_CLIP_OVERRIDE).
+# ===========================================================================
+
+
+def test_coop_train_trajectory_matches_reference(ref, tmp_path):
+    from test_reference_golden_more import _tiny_clip
+
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    model, _, arch, params = _tiny_clip(ref, design, seed=31)
+
+    ccfg = get_cfg_default()
+    ccfg.TRAINER.COOP.N_CTX = 4
+    ccfg.TRAINER.COOP.CTX_INIT = "a photo of a"
+    ccfg.TRAINER.COOP.CSC = False
+    ccfg.TRAINER.COOP.CLASS_TOKEN_POSITION = "end"
+    ccfg.INPUT.SIZE = (32, 32)
+    with fp32_reference(), our_tokenizer_with(ref.bpe_path):
+        cc = ref.coop.CustomCLIP(ccfg, GOLDEN_FED_CLASSNAMES, model)
+
+    # sharpen the (frozen) logit scale on BOTH sides so ctx grad norms
+    # exceed 1 — otherwise the clip-vs-no-clip distinction this golden
+    # exists to pin would never bite at tiny-model grad magnitudes
+    with torch.no_grad():
+        cc.logit_scale.fill_(float(np.log(400.0)))
+    params = dict(params)
+    params["logit_scale"] = jnp.asarray(np.log(400.0), jnp.float32)
+
+    # reference freeze policy (coop.py:240-242): prompt learner only
+    for name, p in cc.named_parameters():
+        p.requires_grad_("prompt_learner" in name)
+    ref_train = [p for p in cc.parameters() if p.requires_grad]
+    assert len(ref_train) == 1  # ctx is CoOp's single trainable tensor
+    ctx0_ref = cc.prompt_learner.ctx.detach().numpy().astype(np.float64)
+    opt = torch.optim.SGD(ref_train, lr=LR, momentum=MOMENTUM,
+                          weight_decay=WEIGHT_DECAY)
+
+    rng = np.random.default_rng(41)
+    batches = [
+        (
+            rng.standard_normal((6, 32, 32, 3)).astype(np.float32) * 0.6,
+            rng.integers(0, len(GOLDEN_FED_CLASSNAMES), 6).astype(np.int64),
+        )
+        for _ in range(STEPS)
+    ]
+
+    losses_ref, gnorms_ref = [], []
+    cc.train()
+    with fp32_reference():
+        for imgs, labels in batches:
+            out = cc(torch.from_numpy(imgs).permute(0, 3, 1, 2))
+            loss = torch.nn.functional.cross_entropy(
+                out, torch.from_numpy(labels))
+            opt.zero_grad()
+            loss.backward()
+            gnorms_ref.append(float(
+                torch.sqrt(sum((p.grad ** 2).sum() for p in ref_train))))
+            opt.step()  # NO clip_grad_norm_ — coop.py:274-277
+            losses_ref.append(float(loss.item()))
+    # probative: at least one step's grad norm exceeds 1, so the old
+    # always-clip-at-1.0 default would produce a different trajectory
+    assert max(gnorms_ref) > 1.0, gnorms_ref
+
+    # ---- our side: the REAL CoOp trainer over the converted weights ----
+    import federated_multi_modal_tpu.trainers  # noqa: F401
+    from federated_multi_modal_tpu.engine import build_trainer
+    from federated_multi_modal_tpu.trainers import coop as coop_mod
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path / "data")
+    cfg.DATASET.NAME = "GoldenFedSynthetic"
+    cfg.MODEL.BACKBONE.NAME = "ViT-B/16"  # unused: loader patched
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.CANVAS_SIZE = 40
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    cfg.TRAINER.NAME = "CoOp"
+    cfg.TRAINER.COOP.N_CTX = 4
+    cfg.TRAINER.COOP.CTX_INIT = "a photo of a"
+    cfg.TRAINER.COOP.PREC = "fp32"
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = LR
+    cfg.OPTIM.MOMENTUM = MOMENTUM
+    cfg.OPTIM.WEIGHT_DECAY = WEIGHT_DECAY
+    cfg.OPTIM.WARMUP_EPOCH = 0
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.MAX_EPOCH = 3
+    cfg.TPU.DATA_PARALLEL = False
+    assert cfg.OPTIM.GRAD_CLIP_NORM == 0.0  # the Dassl-trainer default
+
+    orig_loader = coop_mod.load_clip_backbone
+    coop_mod.load_clip_backbone = lambda model_cfg: (arch, params)
+    try:
+        with our_tokenizer_with(ref.bpe_path):
+            trainer = build_trainer(cfg)
+    finally:
+        coop_mod.load_clip_backbone = orig_loader
+
+    ctx0_ours = np.asarray(trainer.trainable["prompt_learner"]["ctx"],
+                           np.float64)
+    np.testing.assert_allclose(ctx0_ours, ctx0_ref, atol=1e-6)
+
+    losses_ours = []
+    for imgs, labels in batches:
+        summary = trainer.train_step({
+            "image": jnp.asarray(imgs),
+            "label": jnp.asarray(labels.astype(np.int32)),
+        })
+        losses_ours.append(summary["loss"])
+    np.testing.assert_allclose(losses_ours, losses_ref, rtol=1e-4, atol=1e-4)
+
+    ctx1_ours = np.asarray(trainer.trainable["prompt_learner"]["ctx"],
+                           np.float64)
+    with torch.no_grad():
+        ctx1_ref = cc.prompt_learner.ctx.detach().numpy().astype(np.float64)
+    d_ours, d_ref = ctx1_ours - ctx0_ours, ctx1_ref - ctx0_ref
+    scale = max(1e-8, float(np.max(np.abs(d_ref))))
+    assert scale > 0.0
+    np.testing.assert_allclose(
+        d_ours, d_ref, atol=max(1e-7, 2e-3 * scale),
+        err_msg="CoOp ctx trajectory diverges",
+    )
+
+
+# ===========================================================================
+# IVLP training-trajectory golden (round 3): the multi-TENSOR trainable set
+# — text ctx + deep text prompts living in the text transformer blocks +
+# shallow/deep vision prompts — trained by plain (unclipped) SGD, matching
+# the reference policy: ``requires_grad`` on for ``prompt_learner`` and
+# every ``VPT`` name (/root/reference/trainers/independentVL.py:202-210),
+# plain backward + step (``:253-256``).  Complements the CoOp golden (one
+# tensor) with gradient flow through BOTH prompted towers' injections.
+# ===========================================================================
+
+
+def test_ivlp_train_trajectory_matches_reference(ref, tmp_path):
+    from test_reference_golden_more import _tiny_clip
+
+    N_CTX, T_DEPTH, V_DEPTH = 2, 2, 3
+    design = {"trainer": "IVLP", "vision_depth": V_DEPTH,
+              "language_depth": T_DEPTH, "vision_ctx": N_CTX,
+              "language_ctx": N_CTX}
+    model, final_sd, arch, params = _tiny_clip(
+        ref, design, seed=17, vision_layers=4, text_layers=3)
+
+    icfg = get_cfg_default()
+    icfg.TRAINER.IVLP.N_CTX_TEXT = N_CTX
+    icfg.TRAINER.IVLP.N_CTX_VISION = N_CTX
+    icfg.TRAINER.IVLP.CTX_INIT = "a photo of"
+    icfg.TRAINER.IVLP.PROMPT_DEPTH_TEXT = T_DEPTH
+    icfg.TRAINER.IVLP.PROMPT_DEPTH_VISION = V_DEPTH
+    icfg.INPUT.SIZE = (32, 32)
+    with fp32_reference(), our_tokenizer_with(ref.bpe_path):
+        torch.manual_seed(7)
+        cc = ref.ivlp.CustomCLIP(icfg, GOLDEN_FED_CLASSNAMES, model)
+
+    # reference freeze policy (independentVL.py:202-210): prompt_learner
+    # names + every VPT name train; everything else is frozen
+    for name, p in cc.named_parameters():
+        p.requires_grad_("prompt_learner" in name or "VPT" in name)
+    ref_train = [p for p in cc.parameters() if p.requires_grad]
+    # ctx + (T_DEPTH-1) text-deep + visual.VPT + (V_DEPTH-1) vision-deep
+    assert len(ref_train) == 1 + (T_DEPTH - 1) + 1 + (V_DEPTH - 1)
+    opt = torch.optim.SGD(ref_train, lr=LR, momentum=MOMENTUM,
+                          weight_decay=WEIGHT_DECAY)
+
+    def torch_view():
+        return {
+            "prompt_learner": {
+                "ctx": cc.prompt_learner.ctx,
+                "deep_text": [
+                    cc.text_encoder.transformer.resblocks[i].VPT_shallow
+                    for i in range(1, T_DEPTH)
+                ],
+            },
+            "vpt": {
+                "shallow": cc.image_encoder.VPT,
+                "deep": [
+                    cc.image_encoder.transformer.resblocks[i].VPT_shallow
+                    for i in range(1, V_DEPTH)
+                ],
+            },
+        }
+
+    with torch.no_grad():
+        init_ref = _snap(torch_view())
+
+    rng = np.random.default_rng(43)
+    batches = [
+        (
+            rng.standard_normal((6, 32, 32, 3)).astype(np.float32) * 0.6,
+            rng.integers(0, len(GOLDEN_FED_CLASSNAMES), 6).astype(np.int64),
+        )
+        for _ in range(STEPS)
+    ]
+
+    losses_ref = []
+    cc.train()
+    with fp32_reference():
+        for imgs, labels in batches:
+            loss = cc(torch.from_numpy(imgs).permute(0, 3, 1, 2),
+                      torch.from_numpy(labels))
+            opt.zero_grad()
+            loss.backward()
+            # every trainable leaf must actually receive gradient, or the
+            # trajectory would not exercise the full injection path
+            assert all(p.grad is not None for p in ref_train)
+            opt.step()  # NO clip — independentVL.py:253-256
+            losses_ref.append(float(loss.item()))
+
+    # ---- our side: the REAL IVLP trainer over the converted weights ----
+    import federated_multi_modal_tpu.trainers  # noqa: F401
+    from federated_multi_modal_tpu.engine import build_trainer
+    from federated_multi_modal_tpu.trainers import ivlp as ivlp_mod
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path / "data")
+    cfg.DATASET.NAME = "GoldenFedSynthetic"
+    cfg.MODEL.BACKBONE.NAME = "ViT-B/16"  # unused: loader patched
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.CANVAS_SIZE = 40
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    cfg.TRAINER.NAME = "IVLP"
+    cfg.TRAINER.IVLP.N_CTX_TEXT = N_CTX
+    cfg.TRAINER.IVLP.N_CTX_VISION = N_CTX
+    cfg.TRAINER.IVLP.CTX_INIT = "a photo of"
+    cfg.TRAINER.IVLP.PROMPT_DEPTH_TEXT = T_DEPTH
+    cfg.TRAINER.IVLP.PROMPT_DEPTH_VISION = V_DEPTH
+    cfg.TRAINER.IVLP.PREC = "fp32"
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = LR
+    cfg.OPTIM.MOMENTUM = MOMENTUM
+    cfg.OPTIM.WEIGHT_DECAY = WEIGHT_DECAY
+    cfg.OPTIM.WARMUP_EPOCH = 0
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.MAX_EPOCH = 3
+    cfg.TPU.DATA_PARALLEL = False
+    assert cfg.OPTIM.GRAD_CLIP_NORM == 0.0  # the Dassl-trainer default
+
+    orig_loader = ivlp_mod.load_clip_backbone
+    ivlp_mod.load_clip_backbone = lambda model_cfg: (arch, params)
+    try:
+        with our_tokenizer_with(ref.bpe_path):
+            trainer = build_trainer(cfg)
+    finally:
+        ivlp_mod.load_clip_backbone = orig_loader
+
+    # swap in the reference's (torch-random) initial prompts — ours are
+    # jax-random; the trajectory must start from identical weights
+    trainer.trainable = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a), jnp.float32), init_ref,
+    )
+    trainer.opt_state = trainer.tx.init(trainer.trainable)
+
+    ours_leaves = jax.tree_util.tree_leaves(trainer.trainable)
+    assert len(ours_leaves) == len(ref_train)
+    assert sum(int(np.prod(x.shape)) for x in ours_leaves) == sum(
+        p.numel() for p in ref_train)
+
+    init_ours = _snap_tree(trainer.trainable)
+    losses_ours = []
+    for imgs, labels in batches:
+        summary = trainer.train_step({
+            "image": jnp.asarray(imgs),
+            "label": jnp.asarray(labels.astype(np.int32)),
+        })
+        losses_ours.append(summary["loss"])
+    np.testing.assert_allclose(losses_ours, losses_ref, rtol=1e-4, atol=1e-4)
+
+    final_ours = _snap_tree(trainer.trainable)
+    with torch.no_grad():
+        final_ref = _snap(torch_view())
+
+    paths = jax.tree_util.tree_flatten_with_path(init_ours)[0]
+    flat_o0 = jax.tree_util.tree_leaves(init_ours)
+    flat_o1 = jax.tree_util.tree_leaves(final_ours)
+    flat_r0 = jax.tree_util.tree_leaves(init_ref)
+    flat_r1 = jax.tree_util.tree_leaves(final_ref)
+    assert len(flat_o0) == len(flat_r0) == len(flat_o1) == len(flat_r1)
+    for (path, _), o0, o1, r0, r1 in zip(paths, flat_o0, flat_o1, flat_r0,
+                                         flat_r1):
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            o0, r0, atol=1e-6, err_msg=f"initial weights differ at {name}")
+        d_ours, d_ref = o1 - o0, r1 - r0
+        scale = max(1e-8, float(np.max(np.abs(d_ref))))
+        assert scale > 1e-8, f"{name} never moved on the torch side"
+        np.testing.assert_allclose(
+            d_ours, d_ref, atol=max(1e-7, 2e-3 * scale),
+            err_msg=f"IVLP trajectory diverges at {name} "
+                    f"(|d_ref|max={scale:.3e})")
+
+
+# ===========================================================================
+# CoCoOp training-trajectory golden (round 3): gradients through the
+# meta-net (image-conditioned context bias) and our BATCHED (B x n_cls)
+# text pass vs the reference's per-image python loop
+# (/root/reference/trainers/cocoop.py:147-162, 184-192) under plain
+# (unclipped) SGD (``:266-269``).  The batched-vs-loop LOGITS golden
+# already exists; this pins that autodiff through the batched redesign
+# produces the reference's parameter trajectory.
+# ===========================================================================
+
+
+def test_cocoop_train_trajectory_matches_reference(ref, tmp_path):
+    from test_reference_golden_more import _tiny_clip
+
+    design = {"trainer": "CoCoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    model, _, arch, params = _tiny_clip(ref, design, seed=23)
+
+    ccfg = get_cfg_default()
+    ccfg.TRAINER.COCOOP.N_CTX = 4
+    ccfg.TRAINER.COCOOP.CTX_INIT = "a photo of a"
+    ccfg.INPUT.SIZE = (32, 32)
+    with fp32_reference(), our_tokenizer_with(ref.bpe_path):
+        torch.manual_seed(13)
+        cc = ref.cocoop.CustomCLIP(ccfg, GOLDEN_FED_CLASSNAMES, model)
+
+    # reference freeze policy (cocoop.py:221-224): prompt_learner only
+    # (which includes the meta-net)
+    for name, p in cc.named_parameters():
+        p.requires_grad_("prompt_learner" in name)
+    ref_train = [p for p in cc.parameters() if p.requires_grad]
+    assert len(ref_train) == 5  # ctx + 2 x (meta-net weight, bias)
+    opt = torch.optim.SGD(ref_train, lr=LR, momentum=MOMENTUM,
+                          weight_decay=WEIGHT_DECAY)
+
+    def torch_view():
+        mn = cc.prompt_learner.meta_net
+        return {
+            "prompt_learner": {
+                "ctx": cc.prompt_learner.ctx,
+                "meta_net": {
+                    "linear1": {"w": mn.linear1.weight.T,
+                                "b": mn.linear1.bias},
+                    "linear2": {"w": mn.linear2.weight.T,
+                                "b": mn.linear2.bias},
+                },
+            }
+        }
+
+    with torch.no_grad():
+        init_ref = _snap(torch_view())
+
+    rng = np.random.default_rng(47)
+    batches = [
+        (
+            rng.standard_normal((5, 32, 32, 3)).astype(np.float32) * 0.6,
+            rng.integers(0, len(GOLDEN_FED_CLASSNAMES), 5).astype(np.int64),
+        )
+        for _ in range(STEPS)
+    ]
+
+    losses_ref = []
+    cc.train()
+    with fp32_reference():
+        for imgs, labels in batches:
+            loss = cc(torch.from_numpy(imgs).permute(0, 3, 1, 2),
+                      torch.from_numpy(labels))
+            opt.zero_grad()
+            loss.backward()
+            assert all(p.grad is not None for p in ref_train)
+            opt.step()  # NO clip — cocoop.py:266-269
+            losses_ref.append(float(loss.item()))
+
+    # ---- our side: the REAL CoCoOp trainer (batched text pass) ----
+    import federated_multi_modal_tpu.trainers  # noqa: F401
+    from federated_multi_modal_tpu.engine import build_trainer
+    from federated_multi_modal_tpu.trainers import cocoop as cocoop_mod
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path / "data")
+    cfg.DATASET.NAME = "GoldenFedSynthetic"
+    cfg.MODEL.BACKBONE.NAME = "ViT-B/16"  # unused: loader patched
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.CANVAS_SIZE = 40
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    cfg.TRAINER.NAME = "CoCoOp"
+    cfg.TRAINER.COCOOP.N_CTX = 4
+    cfg.TRAINER.COCOOP.CTX_INIT = "a photo of a"
+    cfg.TRAINER.COCOOP.PREC = "fp32"
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = LR
+    cfg.OPTIM.MOMENTUM = MOMENTUM
+    cfg.OPTIM.WEIGHT_DECAY = WEIGHT_DECAY
+    cfg.OPTIM.WARMUP_EPOCH = 0
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.MAX_EPOCH = 3
+    cfg.TPU.DATA_PARALLEL = False
+    assert cfg.OPTIM.GRAD_CLIP_NORM == 0.0  # the Dassl-trainer default
+
+    orig_loader = cocoop_mod.load_clip_backbone
+    cocoop_mod.load_clip_backbone = lambda model_cfg: (arch, params)
+    try:
+        with our_tokenizer_with(ref.bpe_path):
+            trainer = build_trainer(cfg)
+    finally:
+        cocoop_mod.load_clip_backbone = orig_loader
+
+    # swap in the reference's (torch-random) meta-net init; ctx is
+    # embedding-derived and must already agree
+    np.testing.assert_allclose(
+        np.asarray(trainer.trainable["prompt_learner"]["ctx"], np.float64),
+        init_ref["prompt_learner"]["ctx"], atol=1e-6)
+    trainer.trainable = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a), jnp.float32), init_ref,
+    )
+    trainer.opt_state = trainer.tx.init(trainer.trainable)
+
+    init_ours = _snap_tree(trainer.trainable)
+    losses_ours = []
+    for imgs, labels in batches:
+        summary = trainer.train_step({
+            "image": jnp.asarray(imgs),
+            "label": jnp.asarray(labels.astype(np.int32)),
+        })
+        losses_ours.append(summary["loss"])
+    np.testing.assert_allclose(losses_ours, losses_ref, rtol=1e-4, atol=1e-4)
+
+    final_ours = _snap_tree(trainer.trainable)
+    with torch.no_grad():
+        final_ref = _snap(torch_view())
+
+    paths = jax.tree_util.tree_flatten_with_path(init_ours)[0]
+    flat_o0 = jax.tree_util.tree_leaves(init_ours)
+    flat_o1 = jax.tree_util.tree_leaves(final_ours)
+    flat_r0 = jax.tree_util.tree_leaves(init_ref)
+    flat_r1 = jax.tree_util.tree_leaves(final_ref)
+    assert len(flat_o0) == len(flat_r0) == len(flat_o1) == len(flat_r1)
+    for (path, _), o0, o1, r0, r1 in zip(paths, flat_o0, flat_o1, flat_r0,
+                                         flat_r1):
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            o0, r0, atol=1e-6, err_msg=f"initial weights differ at {name}")
+        d_ours, d_ref = o1 - o0, r1 - r0
+        scale = max(1e-8, float(np.max(np.abs(d_ref))))
+        assert scale > 1e-8, f"{name} never moved on the torch side"
+        np.testing.assert_allclose(
+            d_ours, d_ref, atol=max(1e-7, 2e-3 * scale),
+            err_msg=f"CoCoOp trajectory diverges at {name} "
+                    f"(|d_ref|max={scale:.3e})")
+
+
+# ===========================================================================
+# VPT training-trajectory golden (round 3): vision-only prompts (shallow +
+# deep) trained against FIXED zero-shot text features
+# (/root/reference/trainers/vpt.py:66-113) under plain (unclipped) SGD
+# (``:186-190``); trainables are exactly the "VPT" names (``:139-145``).
+# Completes trajectory coverage of all five trainable trainer families
+# (MaPLe, CoOp, CoCoOp, IVLP, VPT).
+# ===========================================================================
+
+
+def test_vpt_train_trajectory_matches_reference(ref, tmp_path, monkeypatch):
+    from test_reference_golden_more import _tiny_clip
+
+    # the reference forward hard-codes ``.cuda()`` on the fixed embeddings
+    # (vpt.py:103); neutralize the device cast like the harness does .half()
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=True)
+
+    N_CTX, V_DEPTH = 2, 3
+    design = {"trainer": "VPT", "vision_depth": V_DEPTH,
+              "vision_ctx": N_CTX, "language_depth": 0, "language_ctx": 0}
+    model, _, arch, params = _tiny_clip(
+        ref, design, seed=29, vision_layers=4)
+
+    vcfg = get_cfg_default()
+    vcfg.TRAINER.VPT.N_CTX_VISION = N_CTX
+    vcfg.TRAINER.VPT.PROMPT_DEPTH_VISION = V_DEPTH
+    vcfg.INPUT.SIZE = (32, 32)
+    with fp32_reference(), our_tokenizer_with(ref.bpe_path):
+        torch.manual_seed(19)
+        cc = ref.vpt.CustomCLIP(vcfg, GOLDEN_FED_CLASSNAMES, model)
+
+    # reference freeze policy (vpt.py:139-145): exactly the VPT names
+    for name, p in cc.named_parameters():
+        p.requires_grad_("VPT" in name)
+    ref_train = [p for p in cc.parameters() if p.requires_grad]
+    assert len(ref_train) == 1 + (V_DEPTH - 1)  # visual.VPT + deep
+    opt = torch.optim.SGD(ref_train, lr=LR, momentum=MOMENTUM,
+                          weight_decay=WEIGHT_DECAY)
+
+    def torch_view():
+        return {
+            "vpt": {
+                "shallow": cc.image_encoder.VPT,
+                "deep": [
+                    cc.image_encoder.transformer.resblocks[i].VPT_shallow
+                    for i in range(1, V_DEPTH)
+                ],
+            }
+        }
+
+    with torch.no_grad():
+        init_ref = _snap(torch_view())
+
+    rng = np.random.default_rng(53)
+    batches = [
+        (
+            rng.standard_normal((6, 32, 32, 3)).astype(np.float32) * 0.6,
+            rng.integers(0, len(GOLDEN_FED_CLASSNAMES), 6).astype(np.int64),
+        )
+        for _ in range(STEPS)
+    ]
+
+    losses_ref = []
+    cc.train()
+    with fp32_reference():
+        for imgs, labels in batches:
+            loss = cc(torch.from_numpy(imgs).permute(0, 3, 1, 2),
+                      torch.from_numpy(labels), training=True)
+            opt.zero_grad()
+            loss.backward()
+            assert all(p.grad is not None for p in ref_train)
+            opt.step()  # NO clip — vpt.py:186-190
+            losses_ref.append(float(loss.item()))
+
+    # ---- our side: the REAL VPT trainer over the converted weights ----
+    import federated_multi_modal_tpu.trainers  # noqa: F401
+    from federated_multi_modal_tpu.engine import build_trainer
+    from federated_multi_modal_tpu.trainers import vpt as vpt_mod
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path / "data")
+    cfg.DATASET.NAME = "GoldenFedSynthetic"
+    cfg.MODEL.BACKBONE.NAME = "ViT-B/16"  # unused: loader patched
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.CANVAS_SIZE = 40
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    cfg.TRAINER.NAME = "VPT"
+    cfg.TRAINER.VPT.N_CTX_VISION = N_CTX
+    cfg.TRAINER.VPT.PROMPT_DEPTH_VISION = V_DEPTH
+    cfg.TRAINER.VPT.PREC = "fp32"
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = LR
+    cfg.OPTIM.MOMENTUM = MOMENTUM
+    cfg.OPTIM.WEIGHT_DECAY = WEIGHT_DECAY
+    cfg.OPTIM.WARMUP_EPOCH = 0
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.MAX_EPOCH = 3
+    cfg.TPU.DATA_PARALLEL = False
+    assert cfg.OPTIM.GRAD_CLIP_NORM == 0.0  # the Dassl-trainer default
+
+    orig_loader = vpt_mod.load_clip_backbone
+    vpt_mod.load_clip_backbone = lambda model_cfg: (arch, params)
+    try:
+        with our_tokenizer_with(ref.bpe_path):
+            trainer = build_trainer(cfg)
+    finally:
+        vpt_mod.load_clip_backbone = orig_loader
+
+    # fixed text features must agree before any training happens
+    with torch.no_grad():
+        tf_ref = cc.embeddings.return_fixed_embeddings().numpy()
+    np.testing.assert_allclose(
+        np.asarray(trainer.frozen["text_features"]), tf_ref,
+        atol=2e-5, rtol=2e-5)
+
+    # swap in the reference's (torch-random) initial prompts
+    trainer.trainable = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a), jnp.float32), init_ref,
+    )
+    trainer.opt_state = trainer.tx.init(trainer.trainable)
+
+    init_ours = _snap_tree(trainer.trainable)
+    losses_ours = []
+    for imgs, labels in batches:
+        summary = trainer.train_step({
+            "image": jnp.asarray(imgs),
+            "label": jnp.asarray(labels.astype(np.int32)),
+        })
+        losses_ours.append(summary["loss"])
+    np.testing.assert_allclose(losses_ours, losses_ref, rtol=1e-4, atol=1e-4)
+
+    final_ours = _snap_tree(trainer.trainable)
+    with torch.no_grad():
+        final_ref = _snap(torch_view())
+
+    paths = jax.tree_util.tree_flatten_with_path(init_ours)[0]
+    flat_o0 = jax.tree_util.tree_leaves(init_ours)
+    flat_o1 = jax.tree_util.tree_leaves(final_ours)
+    flat_r0 = jax.tree_util.tree_leaves(init_ref)
+    flat_r1 = jax.tree_util.tree_leaves(final_ref)
+    assert len(flat_o0) == len(flat_r0) == len(flat_o1) == len(flat_r1)
+    for (path, _), o0, o1, r0, r1 in zip(paths, flat_o0, flat_o1, flat_r0,
+                                         flat_r1):
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            o0, r0, atol=1e-6, err_msg=f"initial weights differ at {name}")
+        d_ours, d_ref = o1 - o0, r1 - r0
+        scale = max(1e-8, float(np.max(np.abs(d_ref))))
+        assert scale > 1e-8, f"{name} never moved on the torch side"
+        np.testing.assert_allclose(
+            d_ours, d_ref, atol=max(1e-7, 2e-3 * scale),
+            err_msg=f"VPT trajectory diverges at {name} "
+                    f"(|d_ref|max={scale:.3e})")
