@@ -181,15 +181,64 @@ def encode_image(
         _block_fn(remat, attn_w_frozen=True, inference=inference)
         if wgrad is not None else None
     )
-    for i, blk in enumerate(params["blocks"]):
-        if 1 <= i <= len(deep_prompts):
-            p = _broadcast_prompt(deep_prompts[i - 1], B, dtype)
-            tail = [p]
-            if extra_tokens is not None:
-                tail.append(extra_tokens.astype(dtype))
-            x = jnp.concatenate([x[:, : x.shape[1] - n_tail]] + tail, axis=1)
-        fn = block_fw if (wgrad is not None and i not in wgrad) else block
-        x = fn(x, blk, cfg.vision_heads)
+    # block-GROUP fast path (inference only): run G consecutive blocks per
+    # Pallas kernel with the deep-prompt injections done in-kernel,
+    # removing the (B, T, D) HBM round-trip at every in-group block
+    # boundary AND the full-tensor injection concats
+    # (ops/pallas/fused_block.py::fused_block_group_residual;
+    # FMM_TPU_FUSED_NBLK > 1 enables, VMEM residency caps G).
+    group_size = 1
+    if inference:
+        import federated_multi_modal_tpu.ops.primitives as _prim
+        from federated_multi_modal_tpu.ops.pallas.fused_block import (
+            fused_block_eligible,
+            fused_block_group_residual,
+            fused_block_group_size,
+        )
+
+        group_size = fused_block_group_size()
+        T_seq = x.shape[1]
+        if group_size > 1 and not (
+            _prim._ATTENTION_IMPL == "pallas"
+            and fused_block_eligible(
+                B, T_seq, cfg.vision_width, cfg.vision_heads,
+                params["blocks"][0]["mlp"]["w_fc"].shape[-1], None,
+            )
+            # deep prompts must be batch-shared rows for the in-kernel
+            # broadcast (the per-sample case rides ``extra_tokens``)
+            and all(p.ndim == 2 for p in deep_prompts)
+        ):
+            group_size = 1
+
+    if group_size > 1:
+        n_blocks = len(params["blocks"])
+        for s in range(0, n_blocks, group_size):
+            grp = params["blocks"][s:s + group_size]
+            flags, prompts = [], []
+            for j in range(len(grp)):
+                i = s + j
+                if 1 <= i <= len(deep_prompts):
+                    flags.append(True)
+                    prompts.append(deep_prompts[i - 1].astype(dtype))
+                else:
+                    flags.append(False)
+            x = fused_block_group_residual(
+                x, tuple(grp), cfg.vision_heads,
+                inject_flags=tuple(flags), prompts=tuple(prompts),
+                extra=(extra_tokens.astype(dtype) if
+                       (extra_tokens is not None and any(flags)) else None),
+            )
+    else:
+        for i, blk in enumerate(params["blocks"]):
+            if 1 <= i <= len(deep_prompts):
+                p = _broadcast_prompt(deep_prompts[i - 1], B, dtype)
+                tail = [p]
+                if extra_tokens is not None:
+                    tail.append(extra_tokens.astype(dtype))
+                x = jnp.concatenate(
+                    [x[:, : x.shape[1] - n_tail]] + tail, axis=1)
+            fn = block_fw if (wgrad is not None and i not in wgrad) else block
+            x = fn(x, blk, cfg.vision_heads)
 
     pooled = layer_norm(x[:, 0, :], params["ln_post"])
     feats = jnp.matmul(

@@ -508,24 +508,28 @@ def fused_block_eligible(B, T, D, n_head, hidden, attn_mask) -> bool:
     )
 
 
-def _block_kernel(x_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref,
-                  g2_ref, b2_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref,
-                  o_ref, *, n_head, scale, valid_T, n_chunks):
-    D = x_ref.shape[-1]
-    H = wfc_ref.shape[-1]
+def _block_body32(x32, dtype, w, bq, g1, b1, wo, bo, g2, b2, wfc, bfc, wpr,
+                  bpr, *, n_head, scale, valid_T, n_chunks):
+    """One full pre-LN block on an fp32 VMEM value: fp32 in -> fp32 out.
+
+    Shared by the single-block kernel and the block-group kernel.  ``dtype``
+    is the storage dtype (dot operands are cast to it, accumulation stays
+    fp32, matching the unfused path's mixed-precision policy).
+    """
+    D = x32.shape[-1]
+    H = wfc.shape[-1]
     hd = D // n_head
     hc = H // n_chunks
     # ---- attention half: y = x + b_out + attn(ln1(x)) @ w_out ----
-    x32 = x_ref[...].astype(jnp.float32)
     mu = jnp.mean(x32, -1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
     xn = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
-    xn = (xn * g1_ref[...] + b1_ref[...]).astype(x_ref.dtype)
+    xn = (xn * g1 + b1).astype(dtype)
     qkv = jax.lax.dot_general(
-        xn, w_ref[...], (((2,), (0,)), ((), ())),
+        xn, w, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    qkv = (qkv + bq.astype(jnp.float32)).astype(dtype)
     outs = []
     for i in range(n_head):
         lo = i * hd
@@ -543,13 +547,13 @@ def _block_kernel(x_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref,
             jax.lax.dot_general(
                 p, v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ).astype(x_ref.dtype)
+            ).astype(dtype)
         )
     # one K=D projection dot (per-head K=hd folding measured -5% e2e:
     # M=200/K=64 dots sit at the known per-head MXU cap)
     a = jnp.concatenate(outs, axis=-1)
-    y = x32 + bo_ref[...].astype(jnp.float32) + jax.lax.dot_general(
-        a, wo_ref[...], (((2,), (0,)), ((), ())),
+    y = x32 + bo.astype(jnp.float32) + jax.lax.dot_general(
+        a, wo, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # ---- MLP half: out = y + b_proj + gelu(ln2(y) @ w_fc + b_fc) @ w_proj
@@ -558,19 +562,32 @@ def _block_kernel(x_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref,
     mu2 = jnp.mean(y, -1, keepdims=True)
     var2 = jnp.mean(jnp.square(y - mu2), -1, keepdims=True)
     xn2 = (y - mu2) * jax.lax.rsqrt(var2 + 1e-5)
-    xn2 = (xn2 * g2_ref[...] + b2_ref[...]).astype(x_ref.dtype)
-    acc = y + bpr_ref[...].astype(jnp.float32)
+    xn2 = (xn2 * g2 + b2).astype(dtype)
+    acc = y + bpr.astype(jnp.float32)
     for c in range(n_chunks):
         lo = c * hc
         h = jax.lax.dot_general(
-            xn2, wfc_ref[:, lo:lo + hc], (((2,), (0,)), ((), ())),
+            xn2, wfc[:, lo:lo + hc], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bfc_ref[:, lo:lo + hc].astype(jnp.float32)
-        h = (h * jax.nn.sigmoid(1.702 * h)).astype(x_ref.dtype)  # QuickGELU
+        ) + bfc[:, lo:lo + hc].astype(jnp.float32)
+        h = (h * jax.nn.sigmoid(1.702 * h)).astype(dtype)  # QuickGELU
         acc = acc + jax.lax.dot_general(
-            h, wpr_ref[lo:lo + hc, :], (((2,), (0,)), ((), ())),
+            h, wpr[lo:lo + hc, :], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    return acc
+
+
+def _block_kernel(x_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref,
+                  g2_ref, b2_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref,
+                  o_ref, *, n_head, scale, valid_T, n_chunks):
+    acc = _block_body32(
+        x_ref[...].astype(jnp.float32), x_ref.dtype,
+        w_ref[...], bq_ref[...], g1_ref[...], b1_ref[...], wo_ref[...],
+        bo_ref[...], g2_ref[...], b2_ref[...], wfc_ref[...], bfc_ref[...],
+        wpr_ref[...], bpr_ref[...],
+        n_head=n_head, scale=scale, valid_T=valid_T, n_chunks=n_chunks,
+    )
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -643,6 +660,168 @@ def fused_block_residual(x, p, n_head: int, interpret=None):
         interpret=_auto_interpret(interpret),
         compiler_params=compiler_params,
     )(x, w2, bq2, g1, b1, wo, bo, g2, b2, wfc, bfc, wpr, bpr)
+    return out[:, :T] if Tp != T else out
+
+
+# --------------------------------------------------------------------------
+# block-GROUP fused inference kernel: G consecutive blocks per pallas_call,
+# with deep-prompt injection done IN-KERNEL.
+#
+# Mechanism (round 3, after the whole-block merge): the remaining HBM
+# traffic on the eval fast path is the (B, T, D) write+read BETWEEN blocks
+# (11 boundaries x ~314 MB at bench shapes) plus the prompt-injection
+# concats, each of which rewrites the whole (B, T, D) tensor to replace a
+# few trailing rows (reference semantics ``clip/model.py:320-349``).
+# Processing G blocks per kernel removes (G-1)/G of the boundaries and
+# moves the in-group injections into VMEM row writes.  All G blocks'
+# weights (~15 MB bf16 each) stay grid-invariant-resident, so G is capped
+# by the VMEM budget (FMM_TPU_FUSED_VMEM, default 100 MB -> G <= 6).
+# The running activation stays fp32 in VMEM across the whole group (the
+# per-block path rounds to bf16 through HBM at every boundary), so the
+# group kernel is strictly closer to the unfused fp32 math.
+# --------------------------------------------------------------------------
+
+_GROUP_WEIGHT_KEYS = 12  # refs per block: w,bq,g1,b1,wo,bo,g2,b2,wfc,bfc,wpr,bpr
+
+
+def fused_block_group_size() -> int:
+    """Blocks per kernel on the inference fast path (``FMM_TPU_FUSED_NBLK``).
+    1 = the round-3 whole-block kernel per block (current default until the
+    group form is A/B-measured on hardware)."""
+    try:
+        return max(1, int(os.environ.get("FMM_TPU_FUSED_NBLK", "1")))
+    except ValueError:  # pragma: no cover
+        return 1
+
+
+def _group_kernel(*refs, n_blocks, n_head, scale, valid_T, n_chunks,
+                  inject_flags, has_extra, n_ctx, n_extra, T):
+    """refs = [x] + 12*n_blocks weight refs + one (n_ctx, D) prompt ref per
+    injecting block + (optional) extra-tokens ref + [out]."""
+    x_ref = refs[0]
+    o_ref = refs[-1]
+    wrefs = refs[1:1 + _GROUP_WEIGHT_KEYS * n_blocks]
+    n_inject = sum(inject_flags)
+    prefs = refs[1 + _GROUP_WEIGHT_KEYS * n_blocks:
+                 1 + _GROUP_WEIGHT_KEYS * n_blocks + n_inject]
+    eref = refs[-2] if has_extra else None
+
+    x32 = x_ref[...].astype(jnp.float32)
+    GB = x32.shape[0]
+    p_i = 0
+    for g in range(n_blocks):
+        if inject_flags[g]:
+            # replace the trailing prompt rows (and per-sample extra rows)
+            # of the VALID region [0, T); padded rows [T, Tp) are dead
+            parts = [x32[:, : T - n_ctx - n_extra]]
+            pv = prefs[p_i][...].astype(jnp.float32)  # (n_ctx, D)
+            parts.append(jnp.broadcast_to(pv[None], (GB,) + pv.shape))
+            p_i += 1
+            if n_extra:
+                parts.append(eref[...].astype(jnp.float32))
+            if x32.shape[1] > T:
+                parts.append(x32[:, T:])
+            x32 = jnp.concatenate(parts, axis=1)
+        w = [r[...] for r in
+             wrefs[g * _GROUP_WEIGHT_KEYS:(g + 1) * _GROUP_WEIGHT_KEYS]]
+        x32 = _block_body32(
+            x32, x_ref.dtype, *w,
+            n_head=n_head, scale=scale, valid_T=valid_T, n_chunks=n_chunks,
+        )
+    o_ref[...] = x32.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "inject_flags",
+                                             "interpret"))
+def fused_block_group_residual(x, blocks, n_head: int,
+                               inject_flags: tuple = (),
+                               prompts=(), extra=None, interpret=None):
+    """Run ``len(blocks)`` consecutive pre-LN blocks in ONE kernel.
+
+    Args:
+        x: ``(B, T, D)`` residual stream.
+        blocks: sequence of block param dicts (``ln_1/attn/ln_2/mlp``).
+        inject_flags: per-block bools — True means "before this block,
+          replace the trailing prompt (+extra) rows", i.e. the deep-prompt
+          injection the encoder loop otherwise does between block calls
+          (``models/clip_model.py::encode_image``).
+        prompts: one ``(n_ctx, D)`` array per True flag, in block order
+          (shared across the batch, like ``_broadcast_prompt``'s input).
+        extra: optional ``(B, k, D)`` per-sample tokens re-injected
+          alongside every prompt (the MaPLe caption branch).
+
+    Forward-only (no VJP — differentiation raises); eval towers only.
+    """
+    B, T, D = x.shape
+    G = len(blocks)
+    if not inject_flags:
+        inject_flags = (False,) * G
+    assert len(inject_flags) == G and len(prompts) == sum(inject_flags)
+    H = blocks[0]["mlp"]["w_fc"].shape[-1]
+    hd = D // n_head
+    Tp = _round_up(T, 8)
+    GB = int(os.environ.get("FMM_TPU_FUSED_GB_BLK", "2"))
+    GB = max(g for g in range(1, min(GB, B) + 1) if B % g == 0)
+    n_chunks = 2 if jnp.dtype(x.dtype).itemsize <= 2 else 4
+    n_ctx = prompts[0].shape[0] if prompts else 0
+    n_extra = extra.shape[1] if extra is not None else 0
+
+    operands = []
+    in_specs = []
+    row = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    for p in blocks:
+        g1, b1, w2, bq2 = _prep(x, p["ln_1"], p["attn"]["w_qkv"],
+                                p["attn"]["b_qkv"])
+        operands += [
+            w2, bq2, g1, b1,
+            p["attn"]["w_out"].astype(x.dtype),
+            p["attn"]["b_out"].reshape(1, D).astype(x.dtype),
+            p["ln_2"]["scale"].reshape(1, D).astype(jnp.float32),
+            p["ln_2"]["bias"].reshape(1, D).astype(jnp.float32),
+            p["mlp"]["w_fc"].astype(x.dtype),
+            p["mlp"]["b_fc"].reshape(1, H).astype(x.dtype),
+            p["mlp"]["w_proj"].astype(x.dtype),
+            p["mlp"]["b_proj"].reshape(1, D).astype(x.dtype),
+        ]
+        in_specs += [
+            row((D, 3 * D)), row((1, 3 * D)), row((1, D)), row((1, D)),
+            row((D, D)), row((1, D)), row((1, D)), row((1, D)),
+            row((D, H)), row((1, H)), row((H, D)), row((1, D)),
+        ]
+    for pv in prompts:
+        operands.append(pv.astype(x.dtype))
+        in_specs.append(row((n_ctx, D)))
+    if extra is not None:
+        operands.append(extra.astype(x.dtype))
+        in_specs.append(pl.BlockSpec((GB, n_extra, D), lambda i: (i, 0, 0)))
+
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    blk = pl.BlockSpec((GB, Tp, D), lambda i: (i, 0, 0))
+    compiler_params = None
+    if not _auto_interpret(interpret):
+        from jax.experimental.pallas import tpu as pltpu
+
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                os.environ.get("FMM_TPU_FUSED_VMEM", 100 << 20)
+            ),
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _group_kernel, n_blocks=G, n_head=n_head,
+            scale=1.0 / float(np.sqrt(hd)),
+            valid_T=None if Tp == T else T, n_chunks=n_chunks,
+            inject_flags=tuple(inject_flags), has_extra=extra is not None,
+            n_ctx=n_ctx, n_extra=n_extra, T=T,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
+        grid=(B // GB,),
+        in_specs=[blk] + in_specs,
+        out_specs=blk,
+        interpret=_auto_interpret(interpret),
+        compiler_params=compiler_params,
+    )(x, *operands)
     return out[:, :T] if Tp != T else out
 
 

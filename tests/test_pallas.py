@@ -763,3 +763,147 @@ def test_fused_block_residual_matches_unfused(rng, T):
     np.testing.assert_allclose(
         np.asarray(two), np.asarray(ref), atol=2e-5, rtol=2e-5
     )
+
+
+def _rand_block(rng, D):
+    def vec(n, s=0.05):
+        return jnp.asarray((rng.standard_normal(n) * s).astype(np.float32))
+
+    def mat(shape, s=0.05):
+        return jnp.asarray(
+            (rng.standard_normal(shape) * s).astype(np.float32))
+
+    return {
+        "ln_1": {"scale": vec(D, 0.1) + 1, "bias": vec(D, 0.1)},
+        "ln_2": {"scale": vec(D, 0.1) + 1, "bias": vec(D, 0.1)},
+        "attn": {"w_qkv": mat((D, 3 * D)), "b_qkv": vec(3 * D),
+                 "w_out": mat((D, D)), "b_out": vec(D)},
+        "mlp": {"w_fc": mat((D, 4 * D)), "b_fc": vec(4 * D),
+                "w_proj": mat((4 * D, D)), "b_proj": vec(D)},
+    }
+
+
+@pytest.mark.parametrize("T,group", [(16, 3), (16, 2), (10, 2)])
+def test_fused_block_group_matches_sequential(rng, T, group):
+    """The block-GROUP kernel (G blocks + in-kernel deep-prompt injection
+    per pallas_call) reproduces the sequential per-block path: injection
+    before blocks 1..dp replaces the trailing prompt rows (reference
+    ``clip/model.py:320-349``), then the full pre-LN block runs."""
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_group_residual,
+    )
+
+    B, D, H, N, n_ctx, dp = 4, 128, 2, 6, 2, 4
+    blocks = [_rand_block(rng, D) for _ in range(N)]
+    prompts = [
+        jnp.asarray((rng.standard_normal((n_ctx, D)) * 0.3).astype(np.float32))
+        for _ in range(dp)
+    ]
+    x0 = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    # sequential reference: the encode_image loop restated
+    x = x0
+    for i, blk in enumerate(blocks):
+        if 1 <= i <= dp:
+            pb = jnp.broadcast_to(prompts[i - 1][None], (B, n_ctx, D))
+            x = jnp.concatenate([x[:, : T - n_ctx], pb], axis=1)
+        x = P.residual_block(x, blk, H, None)
+    ref = x
+
+    # group kernel over the same schedule
+    x = x0
+    for s in range(0, N, group):
+        grp = blocks[s:s + group]
+        flags = tuple(1 <= s + j <= dp for j in range(len(grp)))
+        pvs = tuple(prompts[s + j - 1] for j in range(len(grp))
+                    if 1 <= s + j <= dp)
+        x = fused_block_group_residual(
+            x, tuple(grp), H, inject_flags=flags, prompts=pvs)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(ref), atol=5e-5, rtol=5e-5)
+
+
+def test_fused_block_group_with_extra_tokens(rng):
+    """Per-sample extra tokens (the MaPLe caption branch) are re-injected
+    alongside every deep prompt inside the group kernel."""
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_group_residual,
+    )
+
+    B, T, D, H, N, n_ctx, k, dp = 4, 16, 128, 2, 4, 2, 1, 3
+    blocks = [_rand_block(rng, D) for _ in range(N)]
+    prompts = [
+        jnp.asarray((rng.standard_normal((n_ctx, D)) * 0.3).astype(np.float32))
+        for _ in range(dp)
+    ]
+    extra = jnp.asarray(
+        (rng.standard_normal((B, k, D)) * 0.3).astype(np.float32))
+    x0 = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    n_tail = n_ctx + k
+
+    x = x0
+    for i, blk in enumerate(blocks):
+        if 1 <= i <= dp:
+            pb = jnp.broadcast_to(prompts[i - 1][None], (B, n_ctx, D))
+            x = jnp.concatenate([x[:, : T - n_tail], pb, extra], axis=1)
+        x = P.residual_block(x, blk, H, None)
+    ref = x
+
+    x = x0
+    for s in range(0, N, 2):
+        grp = blocks[s:s + 2]
+        flags = tuple(1 <= s + j <= dp for j in range(len(grp)))
+        pvs = tuple(prompts[s + j - 1] for j in range(len(grp))
+                    if 1 <= s + j <= dp)
+        x = fused_block_group_residual(
+            x, tuple(grp), H, inject_flags=flags, prompts=pvs,
+            extra=extra if any(flags) else None)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(ref), atol=5e-5, rtol=5e-5)
+
+
+def test_encode_image_group_path_matches_default(rng):
+    """``encode_image(inference=True)`` with FMM_TPU_FUSED_NBLK>1 routes the
+    vision tower through the block-group kernel and must match the
+    per-block path exactly (fp32, deep prompts active)."""
+    import os
+
+    import jax
+
+    from federated_multi_modal_tpu.models.clip_model import encode_image
+    from federated_multi_modal_tpu.models.params import (
+        CLIPConfig,
+        init_clip_params,
+    )
+    from federated_multi_modal_tpu.ops import primitives as P
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=5, vision_width=128,
+        vision_patch_size=16, context_length=77, vocab_size=512,
+        transformer_width=64, transformer_heads=2, transformer_layers=2,
+    )
+    params = init_clip_params(cfg, jax.random.PRNGKey(3), dtype_policy=False)
+    imgs = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    shallow = jnp.asarray(
+        (rng.standard_normal((2, 128)) * 0.3).astype(np.float32))
+    deep = [
+        jnp.asarray((rng.standard_normal((2, 128)) * 0.3).astype(np.float32))
+        for _ in range(3)
+    ]
+
+    ref = encode_image(params["visual"], cfg, imgs, shallow_prompts=shallow,
+                       deep_prompts=deep, inference=True)
+
+    P.set_attention_impl("pallas")
+    os.environ["FMM_TPU_FUSED_NBLK"] = "2"
+    try:
+        got = encode_image(params["visual"], cfg, imgs,
+                           shallow_prompts=shallow, deep_prompts=deep,
+                           inference=True)
+    finally:
+        del os.environ["FMM_TPU_FUSED_NBLK"]
+        P.set_attention_impl("xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-5, rtol=5e-5)
