@@ -325,3 +325,40 @@ def test_unflatten_strict_shapes_raises_like_torch():
     new, used = unflatten_into(tree, {"other": np.ones(3, np.float32)},
                                strict_shapes=True)
     assert used == {"other"}
+
+
+def test_macro_f1_matches_sklearn():
+    """Dassl's evaluator computes ``100 * f1_score(y_true, y_pred,
+    average="macro", labels=np.unique(y_true))`` (sklearn); our hand-rolled
+    ``_macro_f1`` must agree, including the edge semantics: classes never
+    predicted (F1=0 via zero-division), and predicted labels absent from
+    y_true (EXCLUDED from the macro average by ``labels=``)."""
+    from sklearn.metrics import f1_score
+
+    from federated_multi_modal_tpu.config import get_cfg_default
+
+    rng = np.random.default_rng(7)
+    cases = [
+        # (y_true, y_pred)
+        (rng.integers(0, 5, 200), rng.integers(0, 5, 200)),   # all present
+        (np.zeros(50, np.int64), rng.integers(0, 3, 50)),     # 1-class truth
+        (rng.integers(0, 3, 80), rng.integers(0, 6, 80)),     # preds outside
+        (np.arange(10) % 4, np.arange(10) % 4),               # perfect
+        (np.array([1, 1, 2, 2]), np.array([2, 2, 1, 1])),     # all wrong
+    ]
+    cfg = get_cfg_default()
+    for y_true, y_pred in cases:
+        y_true = np.asarray(y_true)
+        y_pred = np.asarray(y_pred)
+        ev = Classification(cfg)
+        # logits whose argmax reproduces y_pred exactly
+        n = int(max(y_true.max(), y_pred.max())) + 1
+        logits = np.zeros((len(y_true), n), np.float32)
+        logits[np.arange(len(y_true)), y_pred] = 1.0
+        ev.process(logits, y_true)
+        got = ev.evaluate()["macro_f1"]
+        want = 100.0 * f1_score(
+            y_true, y_pred, average="macro", labels=np.unique(y_true),
+            zero_division=0,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-9), (y_true, y_pred)
