@@ -155,3 +155,66 @@ def test_base2new_scripts_end_to_end(tmp_path):
     hm = re.search(r"\* H: ([\d.]+)%", out.stdout)
     assert hm, out.stdout
     assert float(hm.group(1)) >= 0.0
+
+
+@pytest.mark.parametrize("trainer,cfgfile,model_dirname,extra", [
+    ("CoOp", "CoOp/vit_b16.yaml", "prompt_learner", []),
+    ("CoCoOp", "CoCoOp/vit_b16_c4_ep10_batch1.yaml", "prompt_learner",
+     ["DATALOADER.TRAIN_X.BATCH_SIZE", "2"]),
+    ("VPT", "VPT/vit_b16_c2_ep5_batch4_4.yaml", "prompt_learner",
+     ["TRAINER.VPT.PROMPT_DEPTH_VISION", "2"]),
+    ("IVLP", "IVLP/vit_b16_c2_ep5_batch4_2+2ctx.yaml", "VLPromptLearner",
+     ["TRAINER.IVLP.PROMPT_DEPTH_TEXT", "2",
+      "TRAINER.IVLP.PROMPT_DEPTH_VISION", "2"]),
+])
+def test_single_site_trainer_cli_end_to_end(tmp_path, trainer, cfgfile,
+                                            model_dirname, extra):
+    """Train -> checkpoint -> eval-only reload through the REAL CLI for
+    every single-site trainer family (the flagship MaPLe path has its own
+    script-level test above).  Pins registry wiring, the per-trainer
+    config namespace, the ``model.pth.tar-{epoch}`` checkpoint contract
+    and the ``--model-dir`` reload path (reference ``train.py`` arg
+    surface; Dassl ``load_model``)."""
+    import os
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["FMM_TPU_PLATFORM"] = "cpu"
+    out_dir = str(tmp_path / "out")
+    common = [
+        sys.executable, os.path.join(repo, "train.py"),
+        "--root", str(tmp_path / "data"),
+        "--seed", "1",
+        "--trainer", trainer,
+        "--dataset-config-file", "configs/datasets/synthetic.yaml",
+        "--config-file", os.path.join("configs/trainers", cfgfile),
+        "--output-dir", out_dir,
+    ]
+    overrides = [
+        "MODEL.BACKBONE.NAME", "Tiny",
+        "INPUT.SIZE", "(32, 32)",
+        "INPUT.CANVAS_SIZE", "40",
+        "OPTIM.MAX_EPOCH", "1",
+        f"TRAINER.{trainer.upper()}.PREC", "fp32",
+        "DATALOADER.TEST.BATCH_SIZE", "8",
+        "TPU.DATA_PARALLEL", "False",
+        "VERBOSE", "False",
+    ] + extra
+    run = subprocess.run(common + overrides, capture_output=True, text=True,
+                         env=env, cwd=repo, timeout=900)
+    assert run.returncode == 0, (run.stdout[-2000:], run.stderr[-2000:])
+    assert "Finished training" in run.stdout
+    assert re.search(r"\* accuracy: \d+\.\d\d%", run.stdout), run.stdout[-800:]
+    ckpt = os.path.join(out_dir, model_dirname, "model.pth.tar-1")
+    assert os.path.isfile(ckpt), os.listdir(out_dir)
+
+    eval_dir = str(tmp_path / "eval")
+    run2 = subprocess.run(
+        common[:-1] + [eval_dir, "--model-dir", out_dir, "--load-epoch", "1",
+                       "--eval-only"] + overrides,
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900)
+    assert run2.returncode == 0, (run2.stdout[-2000:], run2.stderr[-2000:])
+    assert re.search(r"\* accuracy: \d+\.\d\d%", run2.stdout), \
+        run2.stdout[-800:]
