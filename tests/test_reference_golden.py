@@ -579,3 +579,27 @@ def test_resnet_tower_and_clip_forward_match_reference(ref):
     np.testing.assert_allclose(logits, li_ref.numpy(), atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(logits.T, lt_ref.numpy(), atol=2e-3,
                                rtol=2e-3)
+
+
+def test_tokenizer_fuzz_matches_reference(ref):
+    """Seeded fuzz over compositions of word pieces, digits, punctuation,
+    html escapes, accents, CJK, emoji and whitespace runs — id-for-id
+    against the EXECUTED reference tokenizer (extends the fixed-string
+    golden above; 200 random strings)."""
+    theirs = ref.simple_tokenizer.SimpleTokenizer(bpe_path=ref.bpe_path)
+    rng = np.random.default_rng(99)
+    pieces = [
+        "dog", "photo", "residential", "satellite", "x", "12", "345",
+        "...", "!", "?", ",", ";", "&amp;", "&lt;3", "café",
+        "naïve", "日本", "\U0001f642", "-", "_", "'s",
+        "o'neil", "CO2", "100%", "word-break", "e", "zzz", "THE",
+    ]
+    seps = [" ", "  ", "\t", " \n ", ""]
+    with our_tokenizer_with(ref.bpe_path) as ours:
+        for _ in range(200):
+            k = int(rng.integers(1, 10))
+            s = ""
+            for j in range(k):
+                s += pieces[int(rng.integers(0, len(pieces)))]
+                s += seps[int(rng.integers(0, len(seps)))]
+            assert ours.encode(s) == theirs.encode(s), repr(s)
