@@ -230,6 +230,11 @@ def get_cfg_default() -> CN:
     # single-site DP over all visible devices (nn.DataParallel analog,
     # reference trainers/maple.py:510-514): replicate params, shard batches
     cfg.TPU.DATA_PARALLEL = True
+    # opt-in: extend single-site DP across jax processes (global "data"
+    # mesh; each process feeds its local batch as its shard, grads
+    # all-reduce over DCN).  Off by default because the federated
+    # trainers have their own cross-process semantics (parallel/fedavg.py)
+    cfg.TPU.DATA_PARALLEL_MULTIHOST = False
     # "auto": packed-QKV Pallas kernels on TPU (1.6x train step at ViT-B/16
     # vision shapes), XLA elsewhere; "pallas"/"xla" force one implementation
     cfg.TPU.ATTENTION_IMPL = "auto"

@@ -592,37 +592,63 @@ class FunctionalTrainerMixin:
         # trainers/maple.py:510-514).  TPU-native analog: replicate the
         # pytrees over a 1-D "data" mesh and shard batches along axis 0 —
         # GSPMD inserts the gradient all-reduce over ICI.
-        self._dp_mesh = None
-        if (
-            getattr(cfg.TPU, "DATA_PARALLEL", True)
-            and jax.device_count() > 1
-            and jax.process_count() == 1
-            # multi-host data parallelism needs
-            # make_array_from_process_local_data, not an eager device_put
-            # onto non-addressable devices
-        ):
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        self._setup_data_parallel(cfg)
 
-            devs = np.asarray(jax.devices())
-            self._dp_mesh = Mesh(devs, ("data",))
-            self._dp_sharded = NamedSharding(self._dp_mesh, PartitionSpec("data"))
-            self._dp_replicated = NamedSharding(self._dp_mesh, PartitionSpec())
-            # params/opt-state stay un-put: jit replicates uncommitted
-            # arrays automatically, and eager device_put here would break
-            # the frozen-CLIP buffer sharing across federated clients
+    def _setup_data_parallel(self, cfg):
+        """Build the 1-D ``data`` mesh batches are sharded over.
+
+        Single-process: mesh over the local devices, eager ``device_put``.
+        Multi-process (``TPU.DATA_PARALLEL_MULTIHOST``, opt-in): global
+        mesh over ALL processes' devices; every process feeds its OWN
+        local batch as its shard of the global batch
+        (``jax.make_array_from_process_local_data``) and XLA's gradient
+        all-reduce crosses hosts over DCN.  Opt-in because the federated
+        trainers have their own cross-process semantics
+        (``parallel/fedavg.py``) that must not silently compose with this.
+        """
+        self._dp_mesh = None
+        self._dp_multihost = False
+        if not (getattr(cfg.TPU, "DATA_PARALLEL", True)
+                and jax.device_count() > 1):
+            return
+        if jax.process_count() > 1 and not getattr(
+                cfg.TPU, "DATA_PARALLEL_MULTIHOST", False):
+            return
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        devs = np.asarray(jax.devices())
+        self._dp_mesh = Mesh(devs, ("data",))
+        self._dp_multihost = jax.process_count() > 1
+        self._dp_local_n = jax.local_device_count()
+        self._dp_sharded = NamedSharding(self._dp_mesh, PartitionSpec("data"))
+        self._dp_replicated = NamedSharding(self._dp_mesh, PartitionSpec())
+        # params/opt-state stay un-put: jit replicates uncommitted
+        # arrays automatically, and eager device_put here would break
+        # the frozen-CLIP buffer sharing across federated clients
 
     def _dp_shard(self, tree):
-        """Shard batch leaves along axis 0 when divisible, else replicate."""
+        """Shard batch leaves along axis 0 when divisible, else replicate.
+
+        Multi-host: each process's leaf is ITS shard of the global batch
+        (global axis-0 size = process_count x local size); replicated
+        leaves must be identical on every process.
+        """
         if self._dp_mesh is None:
             return tree
-        n = self._dp_mesh.devices.size
+        n = self._dp_local_n
 
         def put(x):
-            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
-                return jax.device_put(x, self._dp_sharded)
-            if hasattr(x, "shape"):
-                return jax.device_put(x, self._dp_replicated)
-            return x
+            if not hasattr(x, "shape"):
+                return x
+            sharded = x.ndim >= 1 and x.shape[0] > 0 and x.shape[0] % n == 0
+            if self._dp_multihost:
+                return jax.make_array_from_process_local_data(
+                    self._dp_sharded if sharded else self._dp_replicated,
+                    np.asarray(x),
+                )
+            return jax.device_put(
+                x, self._dp_sharded if sharded else self._dp_replicated
+            )
 
         return jax.tree_util.tree_map(put, tree)
 

@@ -117,6 +117,64 @@ CHILD_FED = textwrap.dedent(
 )
 
 
+CHILD_DP = textwrap.dedent(
+    """
+    import os
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from federated_multi_modal_tpu.parallel import multihost
+    ok = multihost.initialize_multihost()
+    assert ok, "expected an active multi-process runtime"
+
+    import numpy as np
+    import jax.numpy as jnp
+    from federated_multi_modal_tpu.config import get_cfg_default
+    from federated_multi_modal_tpu.engine.trainer import (
+        FunctionalTrainerMixin,
+    )
+
+    pid = jax.process_index()
+
+    # the REAL mixin machinery, minus the model build
+    t = FunctionalTrainerMixin.__new__(FunctionalTrainerMixin)
+    cfg = get_cfg_default()
+    cfg.TPU.DATA_PARALLEL_MULTIHOST = True
+    t._setup_data_parallel(cfg)
+    assert t._dp_mesh is not None and t._dp_multihost
+    assert t._dp_mesh.devices.size == 2  # global mesh spans both processes
+
+    # each process contributes a DIFFERENT local half of the global batch
+    B_local = 3
+    x_local = np.full((B_local, 4), 1.0 + pid, np.float32)
+    w0 = np.zeros(4, np.float32)
+    batch = t._dp_shard({"x": x_local, "s": np.float32(2.0)})
+    assert batch["x"].shape[0] == 2 * B_local  # global axis-0 size
+
+    lr = 0.1
+
+    @jax.jit
+    def step(w, batch):
+        def loss_fn(w):
+            return jnp.mean((w[None] - batch["x"]) ** 2) * batch["s"]
+        loss, g = jax.value_and_grad(loss_fn)(w)
+        return w - lr * g, loss
+
+    w1, loss = step(jnp.asarray(w0), batch)
+    loss = float(jax.device_get(loss))
+    w1 = np.asarray(jax.device_get(w1))
+
+    # analytic over the GLOBAL batch (halves 1.0 and 2.0): mean((w-x)^2)*2
+    xg = np.concatenate([np.full((B_local, 4), 1.0, np.float32),
+                         np.full((B_local, 4), 2.0, np.float32)])
+    exp_loss = float(np.mean((w0[None] - xg) ** 2) * 2.0)
+    exp_w1 = w0 - lr * (2.0 * 2.0 / 4.0) * (w0 - xg.mean(axis=0))
+    np.testing.assert_allclose(loss, exp_loss, rtol=1e-6)
+    np.testing.assert_allclose(w1, exp_w1, rtol=1e-6)
+    print(f"DP_OK {pid} loss={loss:.6f}", flush=True)
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -194,6 +252,17 @@ def test_two_process_fed_step_and_fedavg(tmp_path):
     joined = _run_two_processes(CHILD_FED, tmp_path)
     assert "FED_OK 0" in joined
     assert "FED_OK 1" in joined
+
+
+def test_two_process_data_parallel_step(tmp_path):
+    """Multi-host single-site DP (``TPU.DATA_PARALLEL_MULTIHOST``): the
+    REAL ``_setup_data_parallel``/``_dp_shard`` build a global ``data``
+    mesh spanning both processes, each feeds a DIFFERENT local batch as
+    its shard, and one jitted grad step equals the analytic global-batch
+    update on BOTH processes (the cross-host gradient all-reduce)."""
+    joined = _run_two_processes(CHILD_DP, tmp_path)
+    assert "DP_OK 0" in joined
+    assert "DP_OK 1" in joined
 
 
 def test_explicit_coordinator_after_backend_init_raises():
