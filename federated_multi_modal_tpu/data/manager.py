@@ -47,7 +47,10 @@ def build_data_loader(
         drop_last=drop_last,
         seed=max(cfg.SEED, 0),
         prefetch_depth=getattr(cfg.TPU, "PREFETCH_DEPTH", 2),
-        decode_threads=int(getattr(cfg.DATALOADER, "NUM_WORKERS", 0)) or None,
+        # reference semantics: NUM_WORKERS=0 means NO worker parallelism
+        # (torch's in-process loading) -> one decode thread, N>0 -> N
+        # threads.  Never "all cores" implicitly.
+        decode_threads=max(1, int(getattr(cfg.DATALOADER, "NUM_WORKERS", 0))),
         cache_decoded=getattr(cfg.DATALOADER, "CANVAS_CACHE", True),
         cache_budget_bytes=int(
             getattr(cfg.DATALOADER, "CANVAS_CACHE_BUDGET_GB", 4.0) * (1 << 30)

@@ -642,6 +642,19 @@ class FunctionalTrainerMixin:
                 return x
             sharded = x.ndim >= 1 and x.shape[0] > 0 and x.shape[0] % n == 0
             if self._dp_multihost:
+                if x.ndim >= 1 and not sharded:
+                    # replicating an array whose per-process values DIFFER
+                    # would silently train on inconsistent data (the
+                    # replicated spec asserts identity without checking) —
+                    # refuse instead
+                    raise ValueError(
+                        "multi-host DP requires every batch leaf's axis 0 "
+                        f"({x.shape[0]}) to be divisible by the local "
+                        f"device count ({n}); pad the batch or change "
+                        "DATALOADER.*.BATCH_SIZE"
+                    )
+                # train batches come off the host loader as numpy already;
+                # the asarray is a no-op there (scalars are tiny)
                 return jax.make_array_from_process_local_data(
                     self._dp_sharded if sharded else self._dp_replicated,
                     np.asarray(x),
@@ -715,15 +728,40 @@ class FunctionalTrainerMixin:
             out.update({k: float(v) for k, v in aux.items()})
         return out
 
+    def _host_state(self):
+        """Host snapshot of (trainable, frozen) for multi-host-local eval.
+
+        After a multi-host DP train step the pytrees are fully-replicated
+        GLOBAL arrays; feeding them to a process-local eval jit would mix
+        global and local shardings.  ``device_get`` of fully-replicated
+        arrays is process-local and cheap; cached by tree identity (every
+        train step produces fresh pytrees, so staleness is impossible).
+        """
+        c = getattr(self, "_host_state_cache", None)
+        if (c is None or c[0] is not self.trainable
+                or c[1] is not self.frozen):
+            c = (self.trainable, self.frozen,
+                 jax.device_get((self.trainable, self.frozen)))
+            self._host_state_cache = c
+        return c[2]
+
     def model_inference(self, images):
-        images = self._dp_shard(images)
+        if getattr(self, "_dp_multihost", False):
+            # eval is process-LOCAL under multi-host DP: each process
+            # evaluates its own loader's batches on its own devices (a
+            # globally-sharded eval batch would return logits spanning
+            # non-addressable devices and desync rows from local labels)
+            trainable, frozen = self._host_state()
+        else:
+            trainable, frozen = self.trainable, self.frozen
+            images = self._dp_shard(images)
         if self._eval_prepare is not None:
             if self._eval_cache is None:
-                self._eval_cache = self._eval_prepare(self.trainable, self.frozen)
+                self._eval_cache = self._eval_prepare(trainable, frozen)
             return self._eval_apply(
-                self.trainable, self.frozen, images, self._eval_cache
+                trainable, frozen, images, self._eval_cache
             )
-        return self._infer(self.trainable, self.frozen, images)
+        return self._infer(trainable, frozen, images)
 
     # -- LR schedule ----------------------------------------------------------
     def update_lr(self):

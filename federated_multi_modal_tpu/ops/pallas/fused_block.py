@@ -578,89 +578,21 @@ def _block_body32(x32, dtype, w, bq, g1, b1, wo, bo, g2, b2, wfc, bfc, wpr,
     return acc
 
 
-def _block_kernel(x_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref,
-                  g2_ref, b2_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref,
-                  o_ref, *, n_head, scale, valid_T, n_chunks):
-    acc = _block_body32(
-        x_ref[...].astype(jnp.float32), x_ref.dtype,
-        w_ref[...], bq_ref[...], g1_ref[...], b1_ref[...], wo_ref[...],
-        bo_ref[...], g2_ref[...], b2_ref[...], wfc_ref[...], bfc_ref[...],
-        wpr_ref[...], bpr_ref[...],
-        n_head=n_head, scale=scale, valid_T=valid_T, n_chunks=n_chunks,
-    )
-    o_ref[...] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
 def fused_block_residual(x, p, n_head: int, interpret=None):
     """The FULL pre-LN transformer block (reference
     ``clip/model.py:167-198``) as one kernel: exactly one HBM read (x) and
     one HBM write per block on the inference fast path.
 
+    A single block IS a group of one — delegates to
+    :func:`fused_block_group_residual` so the GB/VMEM/padding logic exists
+    once.
+
     Forward-only (no custom VJP — differentiation raises); inference
     towers route here from ``ops.primitives.residual_block``.
     """
-    B, T, D = x.shape
-    H = p["mlp"]["w_fc"].shape[-1]
-    hd = D // n_head
-    Tp = _round_up(T, 8)
-    # GB sweep on the v5e (same session, docs/BENCH.md): GB=2 wins — 4060
-    # img/s eval e2e vs 3979 (GB=1) / 3698 (GB=4) / 3868 (GB=8) / 3790
-    # (two-kernel baseline).  The small working set pipelines best once
-    # the weights are resident.
-    GB = int(os.environ.get("FMM_TPU_FUSED_GB_BLK", "2"))
-    GB = max(g for g in range(1, min(GB, B) + 1) if B % g == 0)
-    n_chunks = 2 if jnp.dtype(x.dtype).itemsize <= 2 else 4
-    g1, b1, w2, bq2 = _prep(x, p["ln_1"], p["attn"]["w_qkv"],
-                            p["attn"]["b_qkv"])
-    wo = p["attn"]["w_out"].astype(x.dtype)
-    bo = p["attn"]["b_out"].reshape(1, D).astype(x.dtype)
-    g2 = p["ln_2"]["scale"].reshape(1, D).astype(jnp.float32)
-    b2 = p["ln_2"]["bias"].reshape(1, D).astype(jnp.float32)
-    wfc = p["mlp"]["w_fc"].astype(x.dtype)
-    bfc = p["mlp"]["b_fc"].reshape(1, H).astype(x.dtype)
-    wpr = p["mlp"]["w_proj"].astype(x.dtype)
-    bpr = p["mlp"]["b_proj"].reshape(1, D).astype(x.dtype)
-    if Tp != T:
-        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
-    blk = pl.BlockSpec((GB, Tp, D), lambda i: (i, 0, 0))
-    row = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
-    compiler_params = None
-    if not _auto_interpret(interpret):
-        from jax.experimental.pallas import tpu as pltpu
-
-        compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=int(
-                os.environ.get("FMM_TPU_FUSED_VMEM", 100 << 20)
-            ),
-        )
-    out = pl.pallas_call(
-        functools.partial(
-            _block_kernel, n_head=n_head, scale=1.0 / float(np.sqrt(hd)),
-            valid_T=None if Tp == T else T, n_chunks=n_chunks,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
-        grid=(B // GB,),
-        in_specs=[
-            blk,
-            row((D, 3 * D)),
-            row((1, 3 * D)),
-            row((1, D)),
-            row((1, D)),
-            row((D, D)),
-            row((1, D)),
-            row((1, D)),
-            row((1, D)),
-            row((D, H)),
-            row((1, H)),
-            row((H, D)),
-            row((1, D)),
-        ],
-        out_specs=blk,
-        interpret=_auto_interpret(interpret),
-        compiler_params=compiler_params,
-    )(x, w2, bq2, g1, b1, wo, bo, g2, b2, wfc, bfc, wpr, bpr)
-    return out[:, :T] if Tp != T else out
+    return fused_block_group_residual(x, (p,), n_head, interpret=interpret)
 
 
 # --------------------------------------------------------------------------
@@ -760,7 +692,12 @@ def fused_block_group_residual(x, blocks, n_head: int,
     H = blocks[0]["mlp"]["w_fc"].shape[-1]
     hd = D // n_head
     Tp = _round_up(T, 8)
-    GB = int(os.environ.get("FMM_TPU_FUSED_GB_BLK", "2"))
+    # GB sweep on the v5e (same session, docs/BENCH.md): GB=2 wins — 4060
+    # img/s eval e2e vs 3979 (GB=1) / 3698 (GB=4) / 3868 (GB=8) / 3790
+    # (two-kernel baseline).  The small working set pipelines best once
+    # the weights are resident.  Values <= 0 clamp to 1 (the sibling
+    # FMM_TPU_FUSED_BLOCK knob is the on/off switch, not this one).
+    GB = max(1, int(os.environ.get("FMM_TPU_FUSED_GB_BLK", "2")))
     GB = max(g for g in range(1, min(GB, B) + 1) if B % g == 0)
     n_chunks = 2 if jnp.dtype(x.dtype).itemsize <= 2 else 4
     n_ctx = prompts[0].shape[0] if prompts else 0

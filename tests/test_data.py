@@ -457,3 +457,21 @@ def test_len_during_live_epoch_is_nondestructive():
         assert len(loader) == n_batches  # mid-epoch len()
         got.extend(it)
         assert len(got) == n_batches, sampler
+
+
+def test_num_workers_zero_means_single_thread(tmp_path):
+    """Reference semantics: DATALOADER.NUM_WORKERS=0 is torch's in-process
+    (no-parallelism) loading -> exactly ONE decode thread, never the
+    implicit all-cores default; N>0 -> N threads."""
+    from federated_multi_modal_tpu.config import get_cfg_default
+    from federated_multi_modal_tpu.data.datum import Datum
+    from federated_multi_modal_tpu.data.manager import build_data_loader
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path)
+    src = [Datum(impath=str(tmp_path / "x.jpg"), label=0, classname="a")]
+    for nw, want in [(0, 1), (1, 1), (3, 3)]:
+        cfg.DATALOADER.NUM_WORKERS = nw
+        loader = build_data_loader(cfg, data_source=src, batch_size=1,
+                                   is_train=False)
+        assert loader.decode_threads == want, (nw, loader.decode_threads)

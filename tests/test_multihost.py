@@ -161,6 +161,7 @@ CHILD_DP = textwrap.dedent(
 
     w1, loss = step(jnp.asarray(w0), batch)
     loss = float(jax.device_get(loss))
+    w1g = w1  # keep the GLOBAL (fully-replicated) array for the eval check
     w1 = np.asarray(jax.device_get(w1))
 
     # analytic over the GLOBAL batch (halves 1.0 and 2.0): mean((w-x)^2)*2
@@ -170,6 +171,29 @@ CHILD_DP = textwrap.dedent(
     exp_w1 = w0 - lr * (2.0 * 2.0 / 4.0) * (w0 - xg.mean(axis=0))
     np.testing.assert_allclose(loss, exp_loss, rtol=1e-6)
     np.testing.assert_allclose(w1, exp_w1, rtol=1e-6)
+
+    # a non-divisible batch leaf must RAISE, not silently replicate
+    # per-process-different data (1 local device -> use an empty axis-0
+    # leaf, the only non-divisible case at local_n=1)
+    try:
+        t._dp_shard({"x": np.zeros((0, 4), np.float32)})
+        raise SystemExit("non-divisible leaf did not raise")
+    except ValueError as e:
+        assert "divisible" in str(e), e
+
+    # eval is process-LOCAL under multi-host DP: model_inference must use
+    # a host snapshot of the (global, fully-replicated) trained state and
+    # return local-batch-sized logits on local devices
+    t._eval_prepare = None
+    t.trainable, t.frozen = {"w": w1g}, None
+    t._eval_cache = None
+    t._infer = jax.jit(lambda tr, fr, imgs: imgs @ tr["w"][:, None])
+    imgs_local = np.full((B_local, 4), float(pid + 1), np.float32)
+    logits = t.model_inference(imgs_local)
+    out = np.asarray(jax.device_get(logits))  # must be addressable
+    assert out.shape == (B_local, 1), out.shape
+    np.testing.assert_allclose(
+        out, imgs_local @ exp_w1[:, None], rtol=1e-6)
     print(f"DP_OK {pid} loss={loss:.6f}", flush=True)
     """
 )

@@ -907,3 +907,22 @@ def test_encode_image_group_path_matches_default(rng):
         P.set_attention_impl("xla")
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=5e-5, rtol=5e-5)
+
+
+def test_fused_block_gb_env_guard(rng, monkeypatch):
+    """FMM_TPU_FUSED_GB_BLK<=0 must clamp to 1, not crash the default eval
+    fast path (0 is the off-switch convention of the SIBLING knob
+    FMM_TPU_FUSED_BLOCK, an easy slip)."""
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_residual,
+    )
+
+    B, T, D, H = 2, 16, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    p = _rand_block(rng, D)
+    ref = fused_block_residual(x, p, H)
+    for bad in ("0", "-1"):
+        monkeypatch.setenv("FMM_TPU_FUSED_GB_BLK", bad)
+        got = fused_block_residual(x, p, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
