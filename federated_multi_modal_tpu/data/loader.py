@@ -40,6 +40,12 @@ def _sample_random_domain(rng, data_source, batch_size, n_domain,
     domains = sorted(by_domain)
     if sequential or not n_domain or n_domain <= 0:
         n_domain = len(domains)
+    if n_domain > len(domains):
+        raise ValueError(
+            f"DATALOADER N_DOMAIN={n_domain} but the data source has only "
+            f"{len(domains)} domain(s) ({domains}) — lower N_DOMAIN or use "
+            "a non-domain sampler"
+        )
     per_domain = batch_size // n_domain
     if per_domain <= 0:
         raise ValueError(
@@ -138,7 +144,6 @@ class DataLoader:
         # analogue, but threads in one process instead of forked torch
         # workers); None = all cores
         self.decode_threads = decode_threads
-        self.epoch = 0
         # Decoded-canvas cache (device pipeline only): augmentation happens
         # on device from the uint8 canvas, so caching the canvas is
         # lossless — from epoch 2 the host does zero JPEG decoding.  This
@@ -153,6 +158,11 @@ class DataLoader:
         self._canvas_cache: dict = {}
         self._cache_budget = cache_budget_bytes
         self._cache_bytes = 0
+        # serializes the cache check-then-add: _reap_worker detaches a
+        # worker still stuck past its join timeout, so two workers can
+        # briefly coexist — unlocked accounting could double-count an
+        # index's bytes and overshoot the RAM budget
+        self._cache_lock = threading.Lock()
         # the next epoch's batch plan (structured samplers realize a
         # different number of batches than len(data)/batch_size, so len()
         # and iteration must share one plan)
@@ -274,13 +284,14 @@ class DataLoader:
                     for i, frame in zip(uniq, decoded):
                         for k in miss_idx[i]:
                             frames[k] = frame
-                        if (
-                            i not in self._canvas_cache
-                            and self._cache_bytes + frame.nbytes
-                            <= self._cache_budget
-                        ):
-                            self._canvas_cache[i] = frame
-                            self._cache_bytes += frame.nbytes
+                        with self._cache_lock:
+                            if (
+                                i not in self._canvas_cache
+                                and self._cache_bytes + frame.nbytes
+                                <= self._cache_budget
+                            ):
+                                self._canvas_cache[i] = frame
+                                self._cache_bytes += frame.nbytes
                 canvas = np.stack(frames)
             else:
                 canvas = np.stack(
@@ -300,7 +311,6 @@ class DataLoader:
         self._reap_worker()
         batches = self._next_plan()
         self._plan = None  # next len()/iter() realizes a fresh plan
-        self.epoch += 1
         if self.prefetch_depth <= 0:
             for chunk in batches:
                 yield self._make_batch(chunk)

@@ -32,12 +32,15 @@ import numpy as np
 
 from federated_multi_modal_tpu.data.datasets.ucmerced import UCMERCED_RENAME_MAP
 from federated_multi_modal_tpu.data.datum import Datum
-from federated_multi_modal_tpu.data.manager import ClientDataManager, DataManager
+from federated_multi_modal_tpu.data.manager import ClientDataManager
 from federated_multi_modal_tpu.engine.checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
-from federated_multi_modal_tpu.engine.registry import TRAINER_REGISTRY
+from federated_multi_modal_tpu.engine.registry import (
+    TRAINER_REGISTRY,
+    build_dataset,
+)
 from federated_multi_modal_tpu.engine.trainer import TrainerX, tree_finite
 from federated_multi_modal_tpu.models.params import load_clip_backbone
 from federated_multi_modal_tpu.trainers.maple import MaPLe
@@ -46,20 +49,18 @@ from federated_multi_modal_tpu.trainers.maple import MaPLe
 def safe_average_trees(trees):
     """FedAvg with non-finite scrubbing (``safe_average_weights``,
     ``trainers/maple_fed.py:309-315``): stack fp32, nan->0 / inf->±1e4,
-    mean over clients."""
-
-    def avg(*leaves):
-        if leaves[0] is None:
-            return None
-        stacked = jax.numpy.stack(
-            [leaf.astype(jax.numpy.float32) for leaf in leaves]
-        )
-        stacked = jax.numpy.nan_to_num(stacked, nan=0.0, posinf=1e4, neginf=-1e4)
-        return jax.numpy.mean(stacked, axis=0).astype(leaves[0].dtype)
-
-    return jax.tree_util.tree_map(
-        avg, *trees, is_leaf=lambda x: x is None
+    mean over clients.  One implementation serves both paths: this is the
+    sequential-path entry to the same scrub+mean the SPMD path jits
+    (``parallel/fedavg.py::fedavg_over_clients``)."""
+    from federated_multi_modal_tpu.parallel.fedavg import (
+        fedavg_over_clients,
+        stack_client_trees,
+        unstack_client_trees,
     )
+
+    return unstack_client_trees(
+        fedavg_over_clients(stack_client_trees(list(trees))), 1
+    )[0]
 
 
 def copy_tree(tree):
@@ -101,8 +102,11 @@ class MaPLeFederated(TrainerX):
             sub_cfg = cfg.clone()
             sub_cfg.defrost()
             sub_cfg.DATASET.NAME = name
-            dm = DataManager(sub_cfg)
-            datasets[name] = dm.dataset
+            # only the dataset object is consumed here (unification +
+            # ClientDataManager partitioning build their own loaders);
+            # a full DataManager would construct three dead DataLoaders
+            # and two transform pipelines per dataset
+            datasets[name] = build_dataset(sub_cfg)
 
         # rename UCMerced vocabulary into PatternNet's (reference :84-96).
         # The local label->classname map is built over ALL splits — a class
@@ -132,6 +136,9 @@ class MaPLeFederated(TrainerX):
         self.lab2cname = {i: c for i, c in enumerate(global_list)}
 
         def remap(data_list, local_map):
+            # rebuilt WITHOUT the domain field, exactly like the reference
+            # (:117-123) — federated clients are single-domain by
+            # construction, and domain samplers are not used on this path
             out = []
             for item in data_list:
                 cname = local_map[item.label]
@@ -357,6 +364,10 @@ class MaPLeFederated(TrainerX):
                     for ep in range(start, stop):
                         res = trainer.run_epoch(ep)
                         last_epoch_loss = res.get("avg_loss", 0.0)
+                # RuntimeError ONLY, like the reference (:204-206, :262-264)
+                # — XLA runtime errors subclass RuntimeError; anything else
+                # (loader I/O, config bugs) should abort the run, not be
+                # silently absorbed as a "failed client"
                 except RuntimeError as e:
                     print(f"Client {i} failed training: {e}")
                     self.nan_stats["failed_clients"].append(i)
@@ -547,7 +558,17 @@ class MaPLeFederated(TrainerX):
             else:
                 # fall back per client like the reference's per-client gate
                 client_trees = unstack_client_trees(stacked, C)
-                valid = [t for t in client_trees if self.check_weights_valid(t)]
+                valid = []
+                for ci, t in enumerate(client_trees):
+                    if self.check_weights_valid(t):
+                        valid.append(t)
+                    else:
+                        # same message + accounting as the sequential path
+                        # (invalid weights reset to global, NOT counted as
+                        # failed_clients — that list is for exceptions,
+                        # reference :204-206 vs :271-277)
+                        print(f"Client {ci} produced invalid weights, "
+                              "skipping aggregation")
                 if valid:
                     global_tree = safe_average_trees(valid)
                     self.nan_stats["total_updates"] += 1
@@ -605,6 +626,9 @@ class MaPLeFederated(TrainerX):
         print("\nTraining Summary:")
         print(f"Completed Rounds: {self.nan_stats['total_updates']}")
         print(f"Skipped Rounds: {self.nan_stats['skipped_rounds']}")
+        # reference formula verbatim (:345): the list accumulates across
+        # rounds while the denominator is num_clients, so a client failing
+        # in several rounds can push the printed rate past 100%
         fail_rate = len(self.nan_stats["failed_clients"]) / max(1, self.num_clients)
         print(f"Client Failure Rate: {fail_rate:.1%}")
         # end signal precedes the final test so parse_test_res picks it up
