@@ -41,12 +41,15 @@ def _key_str(k) -> str:
 
 
 def flatten_params(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    # ONE batched device_get for the whole tree: per-leaf transfers are N
+    # sequential network round trips on the tunnel backend (CLAUDE.md)
+    host_tree = jax.device_get(tree)
     flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+    for path, leaf in jax.tree_util.tree_flatten_with_path(host_tree)[0]:
         name = ".".join(_key_str(k) for k in path)
         if prefix:
             name = f"{prefix}.{name}" if name else prefix
-        flat[name] = np.asarray(jax.device_get(leaf))
+        flat[name] = np.asarray(leaf)
     return flat
 
 

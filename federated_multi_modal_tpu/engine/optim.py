@@ -38,7 +38,9 @@ def build_lr_schedule(cfg_optim):
         if scheduler == "cosine":
             return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / max_epoch))
         if scheduler == "single_step":
-            step = stepsize[0] if stepsize and stepsize[0] > 0 else max_epoch
+            # Dassl takes the LAST element of a list-valued STEPSIZE for
+            # single_step (lr_scheduler.py: "stepsize = stepsize[-1]")
+            step = stepsize[-1] if stepsize and stepsize[-1] > 0 else max_epoch
             return base_lr * (gamma ** (int(epoch) // step))
         if scheduler == "multi_step":
             n_passed = sum(1 for s in stepsize if epoch >= s)
@@ -124,8 +126,17 @@ def tx_with_lr(cfg_optim, learning_rate, clip):
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected LR in-place-ish (returns new opt_state)."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Update the injected LR in-place-ish (returns new opt_state).
+
+    Stored as a strong-typed f32 array: ``inject_hyperparams`` initializes
+    the leaf that way, and swapping in a weak-typed python float would
+    change the jit aval and force a full retrace of the (donated) train
+    step on the first post-update batch — an extra remote compile on the
+    TPU tunnel.
+    """
+    import jax.numpy as jnp
+
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 

@@ -57,15 +57,12 @@ from federated_multi_modal_tpu.ops.preprocess import crop_resize_flip_normalize
 
 
 def path_name(path) -> str:
-    parts = []
-    for k in path:
-        if hasattr(k, "key"):
-            parts.append(str(k.key))
-        elif hasattr(k, "idx"):
-            parts.append(str(k.idx))
-        else:
-            parts.append(str(k))
-    return ".".join(parts)
+    """Dotted path name — the SAME stringification the checkpoint layer
+    uses (one helper, so split predicates and checkpoint keys can never
+    disagree on a key's name)."""
+    from federated_multi_modal_tpu.engine.checkpoint import _key_str
+
+    return ".".join(_key_str(k) for k in path)
 
 
 def split_tree(tree, predicate: Callable[[str], bool]):
@@ -232,11 +229,14 @@ class TrainerBase:
     def after_epoch(self):
         last_epoch = (self.epoch + 1) == self.max_epoch
         freq = self.cfg.TRAIN.CHECKPOINT_FREQ
-        # best-val tracking (Dassl TrainerX after_epoch protocol): evaluate
-        # the val split each epoch and keep model-best.pth.tar
+        # best-val tracking (Dassl TrainerX after_epoch protocol): gated on
+        # do_test like Dassl ("if do_test and FINAL_MODEL == best_val");
+        # test(split="val") falls back to the test split when the dataset
+        # has no val split — also like Dassl — so model-best.pth.tar is
+        # always written and after_train's load never FileNotFounds
         if (
             self.cfg.TEST.FINAL_MODEL == "best_val"
-            and self.val_loader is not None
+            and not self.cfg.TEST.NO_TEST
         ):
             result = self.test(split="val")["accuracy"]
             if result > self.best_result:
@@ -740,8 +740,13 @@ class FunctionalTrainerMixin:
         c = getattr(self, "_host_state_cache", None)
         if (c is None or c[0] is not self.trainable
                 or c[1] is not self.frozen):
-            c = (self.trainable, self.frozen,
-                 jax.device_get((self.trainable, self.frozen)))
+            # device_put the snapshot back onto the LOCAL devices once —
+            # caching raw numpy would re-upload the whole frozen tower on
+            # every eval batch (jit device_puts numpy args per call)
+            local = jax.device_put(
+                jax.device_get((self.trainable, self.frozen))
+            )
+            c = (self.trainable, self.frozen, local)
             self._host_state_cache = c
         return c[2]
 

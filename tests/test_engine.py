@@ -24,6 +24,7 @@ from federated_multi_modal_tpu.engine.evaluator import Classification, compute_a
 from federated_multi_modal_tpu.engine.optim import (
     build_lr_schedule,
     build_optimizer,
+    get_learning_rate,
     set_learning_rate,
 )
 
@@ -362,3 +363,99 @@ def test_macro_f1_matches_sklearn():
             zero_division=0,
         )
         np.testing.assert_allclose(got, want, atol=1e-9), (y_true, y_pred)
+
+
+def test_single_step_list_stepsize_matches_dassl():
+    """Dassl's single_step takes the LAST element of a list-valued
+    STEPSIZE (dassl lr_scheduler: ``stepsize = stepsize[-1]``); goldened
+    against torch StepLR at that step size."""
+    cfg = get_cfg_default()
+    cfg.OPTIM.LR = 0.1
+    cfg.OPTIM.MAX_EPOCH = 40
+    cfg.OPTIM.LR_SCHEDULER = "single_step"
+    cfg.OPTIM.STEPSIZE = (10, 20)
+    cfg.OPTIM.GAMMA = 0.5
+    cfg.OPTIM.WARMUP_EPOCH = 0
+    sched = build_lr_schedule(cfg.OPTIM)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    tsched = torch.optim.lr_scheduler.StepLR(opt, step_size=20, gamma=0.5)
+    for epoch in range(40):
+        assert sched(epoch) == pytest.approx(
+            opt.param_groups[0]["lr"], rel=1e-6), epoch
+        tsched.step()
+
+
+def test_set_learning_rate_does_not_retrace():
+    """set_learning_rate must keep the hyperparam leaf's jit aval stable
+    (strong-typed f32 array): a python float would weak-type the leaf and
+    force a full retrace of the train step after every LR update."""
+    import jax
+
+    cfg = get_cfg_default()
+    tx = build_optimizer(cfg.OPTIM, learning_rate=0.5)
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+
+    traces = []
+
+    @jax.jit
+    def step(params, state, grads):
+        traces.append(1)
+        updates, state = tx.update(grads, state, params)
+        return jax.tree_util.tree_map(lambda p, u: p + u, params, updates), \
+            state
+
+    grads = {"w": jnp.ones(3)}
+    params, state = step(params, state, grads)
+    assert len(traces) == 1
+    state = set_learning_rate(state, 0.123)
+    params, state = step(params, state, grads)
+    assert len(traces) == 1, "LR update changed the jit aval (retrace)"
+    assert get_learning_rate(state) == pytest.approx(0.123)
+
+
+def test_best_val_without_val_split_falls_back(tmp_path):
+    """FINAL_MODEL='best_val' on a dataset with NO val split must fall back
+    to the test split (Dassl semantics), write model-best.pth.tar, and
+    after_train must reload it without FileNotFoundError; NO_TEST=True
+    must skip best-val tracking entirely."""
+    import federated_multi_modal_tpu.trainers  # noqa: F401
+    from federated_multi_modal_tpu.engine import build_trainer
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path / "data")
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.MODEL.BACKBONE.NAME = "Tiny"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.CANVAS_SIZE = 40
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    cfg.TRAINER.NAME = "CoOp"
+    cfg.TRAINER.COOP.PREC = "fp32"
+    cfg.OPTIM.MAX_EPOCH = 1
+    cfg.TEST.FINAL_MODEL = "best_val"
+    cfg.DATALOADER.TEST.BATCH_SIZE = 8
+    cfg.TPU.DATA_PARALLEL = False
+
+    trainer = build_trainer(cfg)
+    # simulate a dataset with no val split
+    trainer.val_loader = None
+    trainer.train()  # must not raise; best checkpoint written via fallback
+    import os
+
+    assert os.path.isfile(os.path.join(
+        cfg.OUTPUT_DIR, "prompt_learner", "model-best.pth.tar"))
+
+    # NO_TEST skips best-val tracking (Dassl's do_test gate)
+    cfg2 = cfg.clone()
+    cfg2.defrost()
+    cfg2.OUTPUT_DIR = str(tmp_path / "out2")
+    cfg2.TEST.NO_TEST = True
+    trainer2 = build_trainer(cfg2)
+    trainer2.val_loader = None
+    trainer2.train()
+    assert not os.path.isfile(os.path.join(
+        cfg2.OUTPUT_DIR, "prompt_learner", "model-best.pth.tar"))
