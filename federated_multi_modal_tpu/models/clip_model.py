@@ -159,6 +159,17 @@ def encode_image(
             "shallow prompts there is nothing to replace and the sequence "
             "would silently grow"
         )
+    for i, dp in enumerate(deep_prompts):
+        # replacement-never-growth invariant: a deep prompt wider or
+        # narrower than the shallow prompts would silently change the
+        # sequence length here (and the fused group path would instead
+        # clobber patch tokens) — reject both
+        if dp.shape[-2] != n_ctx:
+            raise ValueError(
+                f"deep_prompts[{i}] has {dp.shape[-2]} rows but the "
+                f"shallow prompts define n_ctx={n_ctx}: injection replaces "
+                "the trailing prompt rows one-for-one"
+            )
     block = _block_fn(remat)
     # fused LN+QKV+attention: in ``inference`` towers every block takes it
     # (no grads exist at all); in training only the blocks whose attention
@@ -263,7 +274,15 @@ def encode_image_auto(params, cfg: CLIPConfig, images: jax.Array, **prompt_kwarg
         raise ValueError("Visual prompting requires a ViT backbone")
     from federated_multi_modal_tpu.models.resnet import encode_image_resnet
 
-    return encode_image_resnet(params, cfg.resnet_config(), images)
+    # ``inference`` is a fusion hint with no RN-path effect (the fused
+    # kernels are transformer-only); ``remat`` is honored so a caller's
+    # memory request is not silently dropped
+    rcfg = cfg.resnet_config()
+    if prompt_kwargs.get("remat"):
+        return jax.checkpoint(
+            lambda p, im: encode_image_resnet(p, rcfg, im)
+        )(params, images)
+    return encode_image_resnet(params, rcfg, images)
 
 
 # --------------------------------------------------------------------------

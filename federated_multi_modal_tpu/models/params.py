@@ -184,10 +184,12 @@ def apply_dtype_policy(params, compute_dtype=COMPUTE_DTYPE):
 # --------------------------------------------------------------------------
 
 
-def _init_block(key, width: int) -> dict:
+def _init_block(key, width: int, n_layers: int = 12) -> dict:
     ks = jax.random.split(key, 4)
     attn_std = width ** -0.5
-    proj_std = attn_std * (2 * 12) ** -0.5  # depth factor; close enough for init
+    # CLIP.initialize_parameters scales the residual projections by the
+    # TOWER's depth: (2 * num_layers) ** -0.5
+    proj_std = attn_std * (2 * n_layers) ** -0.5
     fc_std = (2 * width) ** -0.5
     return {
         "ln_1": {"scale": jnp.ones(width), "bias": jnp.zeros(width)},
@@ -214,7 +216,8 @@ def init_clip_params(
     the numbers follow ``CLIP.initialize_parameters``)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    kv, kt, kc, kp, kproj, ktok, ktpos, ktxtp = jax.random.split(key, 8)
+    (kv, kt, kc, kp, kproj, ktok, ktpos, ktxtp,
+     kvpos) = jax.random.split(key, 9)
 
     if cfg.is_vit:
         w = cfg.vision_width
@@ -225,12 +228,14 @@ def init_clip_params(
                 "w": jax.random.normal(kc, (patch_dim, w)) * (patch_dim ** -0.5)
             },
             "class_embedding": jax.random.normal(kp, (w,)) * scale,
+            # kvpos is its own split: sampling from kv AND splitting kv for
+            # the blocks would correlate the init streams (key reuse)
             "positional_embedding": jax.random.normal(
-                kv, (cfg.num_patches + 1, w)
+                kvpos, (cfg.num_patches + 1, w)
             ) * scale,
             "ln_pre": {"scale": jnp.ones(w), "bias": jnp.zeros(w)},
             "blocks": [
-                _init_block(k, w)
+                _init_block(k, w, cfg.vision_layers)
                 for k in jax.random.split(kv, cfg.vision_layers)
             ],
             "ln_post": {"scale": jnp.ones(w), "bias": jnp.zeros(w)},
@@ -247,7 +252,8 @@ def init_clip_params(
         "positional_embedding": jax.random.normal(ktpos, (cfg.context_length, d))
         * 0.01,
         "blocks": [
-            _init_block(k, d) for k in jax.random.split(kt, cfg.transformer_layers)
+            _init_block(k, d, cfg.transformer_layers)
+            for k in jax.random.split(kt, cfg.transformer_layers)
         ],
         "ln_final": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
         "text_projection": jax.random.normal(ktxtp, (d, cfg.embed_dim))

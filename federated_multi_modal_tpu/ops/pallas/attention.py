@@ -136,12 +136,13 @@ def fused_attention(
             B, T, D
         )
 
-    # additive mask: caller mask + -inf on padded keys
-    mask = jnp.zeros((Tp, Tp), jnp.float32)
-    if attn_mask is not None:
-        mask = mask.at[:T, :T].set(attn_mask.astype(jnp.float32))
-    if Tp != T:
-        mask = mask.at[:, T:].set(-jnp.inf)
+    # additive mask: caller mask + -inf on padded keys (shared helper so
+    # the masking convention lives in one place)
+    mask = _padded_mask(
+        attn_mask if attn_mask is not None
+        else jnp.zeros((T, T), jnp.float32),
+        T, Tp,
+    )
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
@@ -159,9 +160,10 @@ def fused_attention(
     return out.reshape(B, T, D)
 
 
-def multi_head_attention_pallas(x, p, n_head, attn_mask=None, interpret=False):
+def multi_head_attention_pallas(x, p, n_head, attn_mask=None, interpret=None):
     """Drop-in fused replacement for ``ops.primitives.multi_head_attention``
-    (same packed-QKV parameter contract)."""
+    (same packed-QKV parameter contract).  ``interpret=None`` auto-enables
+    interpreter mode on CPU backends like every other kernel here."""
     from federated_multi_modal_tpu.ops.primitives import linear
 
     qkv = linear(x, p["w_qkv"], p["b_qkv"])
@@ -227,8 +229,18 @@ def _pick_gb(B: int, Tp: int, dtype, hp: int) -> int:
     """
     import os
 
-    cap = int(os.environ.get("FMM_TPU_PACKED_GB", "8"))
-    cap = min(cap, max(1, 16 // hp))
+    slice_cap = max(1, 16 // hp)  # Mosaic's hard (b, h)-slice limit
+    env = os.environ.get("FMM_TPU_PACKED_GB")
+    if env is not None:
+        # explicit override BYPASSES the VMEM estimate (that is the point
+        # of an experiment knob) — only the Mosaic slice cap and batch
+        # divisibility still bind
+        cap = min(int(env), slice_cap)
+        for g in range(max(1, cap), 0, -1):
+            if B % g == 0:
+                return g
+        return 1
+    cap = min(8, slice_cap)
     bytes_ = jnp.dtype(dtype).itemsize
     budget = 12 << 20  # leave headroom under the ~16 MB VMEM
     for g in range(cap, 0, -1):
