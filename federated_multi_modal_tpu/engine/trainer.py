@@ -642,16 +642,19 @@ class FunctionalTrainerMixin:
                 return x
             sharded = x.ndim >= 1 and x.shape[0] > 0 and x.shape[0] % n == 0
             if self._dp_multihost:
-                if x.ndim >= 1 and not sharded:
+                if not sharded:
                     # replicating an array whose per-process values DIFFER
                     # would silently train on inconsistent data (the
                     # replicated spec asserts identity without checking) —
-                    # refuse instead
+                    # refuse instead.  Covers 0-d scalars too: a
+                    # per-process-differing scalar leaf is just as silent a
+                    # divergence as a ragged batch.
                     raise ValueError(
-                        "multi-host DP requires every batch leaf's axis 0 "
-                        f"({x.shape[0]}) to be divisible by the local "
-                        f"device count ({n}); pad the batch or change "
-                        "DATALOADER.*.BATCH_SIZE"
+                        "multi-host DP requires every batch leaf to carry a "
+                        f"leading axis divisible by the local device count "
+                        f"({n}); got shape {x.shape}. Pad the batch, change "
+                        "DATALOADER.*.BATCH_SIZE, or lift scalar leaves "
+                        "into per-sample arrays"
                     )
                 # train batches come off the host loader as numpy already;
                 # the asarray is a no-op there (scalars are tiny)

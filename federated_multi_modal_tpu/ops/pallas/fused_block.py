@@ -636,7 +636,11 @@ def _group_kernel(*refs, n_blocks, n_head, scale, valid_T, n_chunks,
     n_inject = sum(inject_flags)
     prefs = refs[1 + _GROUP_WEIGHT_KEYS * n_blocks:
                  1 + _GROUP_WEIGHT_KEYS * n_blocks + n_inject]
-    eref = refs[-2] if has_extra else None
+    # positional, not refs[-2]: with has_extra and zero injecting blocks
+    # refs[-2] would alias the last weight ref (the public API rejects that
+    # combination, but the kernel must not rely on it)
+    eref = (refs[1 + _GROUP_WEIGHT_KEYS * n_blocks + n_inject]
+            if has_extra else None)
 
     x32 = x_ref[...].astype(jnp.float32)
     GB = x32.shape[0]
@@ -663,8 +667,6 @@ def _group_kernel(*refs, n_blocks, n_head, scale, valid_T, n_chunks,
     o_ref[...] = x32.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "inject_flags",
-                                             "interpret"))
 def fused_block_group_residual(x, blocks, n_head: int,
                                inject_flags: tuple = (),
                                prompts=(), extra=None, interpret=None):
@@ -683,7 +685,40 @@ def fused_block_group_residual(x, blocks, n_head: int,
           alongside every prompt (the MaPLe caption branch).
 
     Forward-only (no VJP — differentiation raises); eval towers only.
+
+    The ``FMM_TPU_FUSED_GB_BLK``/``FMM_TPU_FUSED_VMEM`` knobs are read HERE
+    (trace time of the caller) and passed to the jitted implementation as
+    static arguments, so changing a knob retraces this function.  NB: a
+    caller that already baked this call into its own ``jax.jit`` cache
+    (e.g. the eval fast path) keeps its old trace — restart or clear the
+    caller's cache after changing a knob mid-process.
     """
+    if extra is not None and not any(inject_flags):
+        raise ValueError(
+            "fused_block_group_residual: `extra` tokens are only consumed "
+            "at injection points, but every inject_flag is False — pass at "
+            "least one True flag or drop `extra`"
+        )
+    # GB sweep on the v5e (same session, docs/BENCH.md): GB=2 wins — 4060
+    # img/s eval e2e vs 3979 (GB=1) / 3698 (GB=4) / 3868 (GB=8) / 3790
+    # (two-kernel baseline).  The small working set pipelines best once
+    # the weights are resident.  Values <= 0 clamp to 1 (the sibling
+    # FMM_TPU_FUSED_BLOCK knob is the on/off switch, not this one).
+    gb_knob = max(1, int(os.environ.get("FMM_TPU_FUSED_GB_BLK", "2")))
+    vmem_bytes = int(os.environ.get("FMM_TPU_FUSED_VMEM", 100 << 20))
+    return _fused_block_group_jit(
+        x, blocks, tuple(prompts), extra,
+        n_head=n_head, inject_flags=tuple(inject_flags),
+        interpret=interpret, gb_knob=gb_knob, vmem_bytes=vmem_bytes,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "inject_flags",
+                                             "interpret", "gb_knob",
+                                             "vmem_bytes"))
+def _fused_block_group_jit(x, blocks, prompts, extra, *, n_head: int,
+                           inject_flags: tuple, interpret, gb_knob: int,
+                           vmem_bytes: int):
     B, T, D = x.shape
     G = len(blocks)
     if not inject_flags:
@@ -692,13 +727,7 @@ def fused_block_group_residual(x, blocks, n_head: int,
     H = blocks[0]["mlp"]["w_fc"].shape[-1]
     hd = D // n_head
     Tp = _round_up(T, 8)
-    # GB sweep on the v5e (same session, docs/BENCH.md): GB=2 wins — 4060
-    # img/s eval e2e vs 3979 (GB=1) / 3698 (GB=4) / 3868 (GB=8) / 3790
-    # (two-kernel baseline).  The small working set pipelines best once
-    # the weights are resident.  Values <= 0 clamp to 1 (the sibling
-    # FMM_TPU_FUSED_BLOCK knob is the on/off switch, not this one).
-    GB = max(1, int(os.environ.get("FMM_TPU_FUSED_GB_BLK", "2")))
-    GB = max(g for g in range(1, min(GB, B) + 1) if B % g == 0)
+    GB = max(g for g in range(1, min(gb_knob, B) + 1) if B % g == 0)
     n_chunks = 2 if jnp.dtype(x.dtype).itemsize <= 2 else 4
     n_ctx = prompts[0].shape[0] if prompts else 0
     n_extra = extra.shape[1] if extra is not None else 0
@@ -740,9 +769,7 @@ def fused_block_group_residual(x, blocks, n_head: int,
         from jax.experimental.pallas import tpu as pltpu
 
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=int(
-                os.environ.get("FMM_TPU_FUSED_VMEM", 100 << 20)
-            ),
+            vmem_limit_bytes=vmem_bytes,
         )
     out = pl.pallas_call(
         functools.partial(
