@@ -1,0 +1,346 @@
+"""End-to-end equivalence golden for the FED.PARALLEL_CLIENTS aggregator.
+
+The sequential round loop is trajectory-goldened against the executed
+reference (tests/test_reference_golden_training.py); the SPMD parallel
+loop (``trainers/maple_fed.py::_train_parallel``) was only covered by
+step-level vmap/shard_map equivalence.  These tests close the gap: the
+REAL ``MaPLeFederated.train()`` runs twice on the 8-virtual-device CPU
+mesh — ``FED.PARALLEL_CLIENTS`` False (capturing every parsed batch at
+the train_step boundary) then True (replaying those exact batches through
+``stacked_batches``) — and the per-round aggregator checkpoints, final
+global weights, per-epoch per-client losses, and nan_stats must agree to
+fp32 accumulation-order tolerance.  This transitively extends the
+reference trajectory golden (reference round semantics:
+``/root/reference/trainers/maple_fed.py:228-303``) to the SPMD path.
+
+A NaN-injected variant poisons client 1's weights at the end of round 0
+in BOTH paths (post-epoch in sequential, post-last-step in parallel) so
+the parallel gate fallback (``trainers/maple_fed.py`` per-client validity
+reset) is composition-tested against the goldened sequential gate.
+"""
+
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import federated_multi_modal_tpu.trainers  # noqa: F401 (registry)
+from federated_multi_modal_tpu import parallel as parallel_pkg
+from federated_multi_modal_tpu.config import get_cfg_default
+from federated_multi_modal_tpu.engine import build_trainer
+from federated_multi_modal_tpu.engine.checkpoint import load_checkpoint
+
+NUM_ROUNDS = 2
+LOCAL_EPOCHS = 2
+NUM_CLIENTS = 2
+
+
+def _cfg(data_root, out_dir, parallel: bool):
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(data_root)
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.MODEL.BACKBONE.NAME = "Tiny"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.CANVAS_SIZE = 40
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 16
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = 0.02
+    cfg.OPTIM.MOMENTUM = 0.9
+    cfg.OPTIM.WEIGHT_DECAY = 5e-4
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = 5e-3
+    cfg.OPTIM.MAX_EPOCH = NUM_ROUNDS * LOCAL_EPOCHS
+    cfg.TRAIN.PRINT_FREQ = 100
+    cfg.TRAINER.NAME = "MaPLeFederated"
+    cfg.TRAINER.MAPLE.N_CTX = 2
+    cfg.TRAINER.MAPLE.PROMPT_DEPTH = 3
+    cfg.TRAINER.MAPLE.PREC = "fp32"  # accumulation-order noise only
+    cfg.TRAINER.MAPLE.USE_CAPTIONS = False
+    cfg.OUTPUT_DIR = str(out_dir)
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    cfg.FED.NUM_CLIENTS = NUM_CLIENTS
+    cfg.FED.NUM_ROUNDS = NUM_ROUNDS
+    cfg.FED.LOCAL_EPOCHS = LOCAL_EPOCHS
+    cfg.FED.DATASETS = ("Synthetic", "Synthetic")
+    cfg.FED.CLASSNAME_ONLY_DATASETS = ()
+    cfg.FED.PARALLEL_CLIENTS = parallel
+    cfg.FED.CHECKPOINT_EVERY_ROUND = True
+    cfg.TPU.DATA_PARALLEL = False
+    return cfg
+
+
+def _snap_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else np.asarray(jax.device_get(x)),
+        tree, is_leaf=lambda x: x is None,
+    )
+
+
+def _run_sequential(data_root, out_dir, inject_nan_at=None):
+    """The goldened sequential loop, capturing every parsed train batch at
+    the train_step boundary per (client, epoch), plus per-epoch avg losses.
+    ``inject_nan_at=(client, epoch)`` poisons that client's trainable
+    AFTER the epoch (the same mechanism the reference-goldened NaN-gate
+    test uses)."""
+    fed = build_trainer(_cfg(data_root, out_dir, parallel=False))
+    # divergent clients: same dataset, different loader RNG stream (batch
+    # order and augmentation boxes differ)
+    fed.clients[1].train_loader_x.rng = np.random.default_rng(99)
+
+    captured = defaultdict(list)     # (client, epoch) -> [parsed step dict]
+    epoch_losses = defaultdict(list)  # client -> [avg_loss per epoch]
+    current_epoch = {}
+    for i, cl in enumerate(fed.clients):
+        def make_step(i, orig):
+            def wrapped(step):
+                captured[(i, current_epoch[i])].append(
+                    {k: np.asarray(jax.device_get(v))
+                     for k, v in step.items()}
+                )
+                return orig(step)
+            return wrapped
+
+        def make_epoch(i, cl, orig):
+            def wrapped(epoch=None):
+                current_epoch[i] = epoch
+                res = orig(epoch)
+                epoch_losses[i].append(res["avg_loss"])
+                if inject_nan_at == (i, epoch):
+                    bad = np.asarray(
+                        cl.trainable["prompt_learner"]["ctx"], np.float32
+                    ).copy()
+                    bad[0, 0] = np.nan
+                    cl.trainable["prompt_learner"]["ctx"] = jnp.asarray(bad)
+                return res
+            return wrapped
+
+        cl.train_step = make_step(i, cl.train_step)
+        cl.run_epoch = make_epoch(i, cl, cl.run_epoch)
+
+    init_global = _snap_tree(fed.global_weights)
+    frozen_probe = _snap_tree(fed.clients[0].frozen)
+    fed.train()
+    return {
+        "fed": fed,
+        "captured": captured,
+        "epoch_losses": epoch_losses,
+        "init": init_global,
+        "final": _snap_tree(fed.global_weights),
+        "frozen": frozen_probe,
+        "stats": dict(fed.nan_stats),
+    }
+
+
+class _ReplayLoader:
+    """Stands in for a client's train loader inside ``_train_parallel``:
+    each ``iter()`` yields the NEXT epoch's captured (already-parsed)
+    batches, in capture order."""
+
+    def __init__(self, epoch_batches):
+        self.epoch_batches = epoch_batches
+        self._next = 0
+
+    def __len__(self):
+        return len(self.epoch_batches[0])
+
+    def __iter__(self):
+        assert self._next < len(self.epoch_batches), "replay exhausted"
+        ep = self.epoch_batches[self._next]
+        self._next += 1
+        return iter(ep)
+
+
+def _run_parallel(data_root, out_dir, captured, monkeypatch,
+                  poison_step=None):
+    """The REAL parallel loop consuming the sequential capture.  The step
+    function is wrapped to record per-step per-client losses (and, for the
+    gate variant, to poison client 1's weights after ``poison_step``)."""
+    fed = build_trainer(_cfg(data_root, out_dir, parallel=True))
+
+    steps_per_epoch = len(fed.clients[0].train_loader_x)
+    total_epochs = NUM_ROUNDS * LOCAL_EPOCHS
+    for i, cl in enumerate(fed.clients):
+        epochs = [captured[(i, ep)] for ep in range(total_epochs)]
+        assert all(len(e) == steps_per_epoch for e in epochs)
+        cl.train_loader_x = _ReplayLoader(epochs)
+        cl.parse_batch_train = lambda b: b  # batches are already parsed
+
+    step_losses = []
+    call_count = [0]
+    orig_build = parallel_pkg.build_parallel_fed_step
+
+    def patched_build(loss_fn, tx, mesh, **kw):
+        real = orig_build(loss_fn, tx, mesh, **kw)
+
+        def wrapped(stacked, frozen, opt, batch):
+            stacked, opt, losses = real(stacked, frozen, opt, batch)
+            step_losses.append(np.asarray(jax.device_get(losses)))
+            if poison_step is not None and call_count[0] == poison_step:
+                ctx = stacked["prompt_learner"]["ctx"]
+                stacked["prompt_learner"]["ctx"] = ctx.at[1, 0, 0].set(
+                    jnp.nan
+                )
+            call_count[0] += 1
+            return stacked, opt, losses
+
+        return wrapped
+
+    monkeypatch.setattr(parallel_pkg, "build_parallel_fed_step",
+                        patched_build)
+
+    init_global = _snap_tree(fed.global_weights)
+    frozen_probe = _snap_tree(fed.clients[0].frozen)
+    fed.train()
+    assert call_count[0] == total_epochs * steps_per_epoch
+
+    # per-client per-epoch avg losses from the recorded step losses
+    arr = np.stack(step_losses)  # (total_steps, C)
+    arr = arr.reshape(total_epochs, steps_per_epoch, NUM_CLIENTS)
+    epoch_losses = {
+        c: arr[:, :, c].mean(axis=1).tolist() for c in range(NUM_CLIENTS)
+    }
+    return {
+        "fed": fed,
+        "epoch_losses": epoch_losses,
+        "init": init_global,
+        "final": _snap_tree(fed.global_weights),
+        "frozen": frozen_probe,
+        "stats": dict(fed.nan_stats),
+    }
+
+
+def _assert_trees_close(tree_a, tree_b, label, rtol=1e-3, floor=1e-6):
+    """Per-leaf comparison with a tolerance scaled to each leaf's own
+    magnitude of CHANGE-carrying values (fp32 accumulation-order noise
+    between the batched-4 sequential step and the 4x-batch-1 sharded
+    parallel step, compounded over the trajectory)."""
+    leaves_a = jax.tree_util.tree_leaves(tree_a)
+    leaves_b = jax.tree_util.tree_leaves(tree_b)
+    paths = jax.tree_util.tree_flatten_with_path(tree_a)[0]
+    assert len(leaves_a) == len(leaves_b)
+    for (path, _), a, b in zip(paths, leaves_a, leaves_b):
+        name = jax.tree_util.keystr(path)
+        scale = max(float(np.max(np.abs(a))), 1e-8)
+        np.testing.assert_allclose(
+            a, b, atol=max(floor, rtol * scale),
+            err_msg=f"{label}: diverges at {name}",
+        )
+
+
+def _load_round_ckpt(out_dir, rnd):
+    import os.path as osp
+
+    path = osp.join(str(out_dir), "MultiModalPromptLearner_Aggregator",
+                    f"model.pth.tar-round{rnd}")
+    return load_checkpoint(path)["state_dict"]
+
+
+def _assert_equivalent(seq, par, seq_out, par_out):
+    # identical starting point (same SEED -> same init; loudly catch any
+    # non-determinism in the builders before blaming the round loops)
+    _assert_trees_close(seq["init"], par["init"], "initial global",
+                        rtol=0.0, floor=1e-7)
+    _assert_trees_close(seq["frozen"], par["frozen"], "frozen tower",
+                        rtol=0.0, floor=1e-7)
+
+    # per-epoch per-client losses: catches transposed client stacking,
+    # wrong LR windows, and data-feeding misalignment at the epoch where
+    # they first occur
+    for c in range(NUM_CLIENTS):
+        np.testing.assert_allclose(
+            seq["epoch_losses"][c], par["epoch_losses"][c],
+            rtol=5e-4, atol=1e-5,
+            err_msg=f"client {c} per-epoch losses diverge",
+        )
+    # divergent clients: the two clients' loss curves must differ
+    assert not np.allclose(seq["epoch_losses"][0], seq["epoch_losses"][1])
+
+    # per-ROUND aggregator checkpoints (written by both paths' per-round
+    # elasticity hook): catches a bug in any round, not just the last
+    for rnd in range(1, NUM_ROUNDS + 1):
+        sd_s = _load_round_ckpt(seq_out, rnd)
+        sd_p = _load_round_ckpt(par_out, rnd)
+        assert set(sd_s) == set(sd_p)
+        for k in sorted(sd_s):
+            scale = max(float(np.max(np.abs(sd_s[k]))), 1e-8)
+            np.testing.assert_allclose(
+                sd_s[k], sd_p[k], atol=max(1e-6, 1e-3 * scale),
+                err_msg=f"round {rnd} checkpoint diverges at {k}",
+            )
+
+    _assert_trees_close(seq["final"], par["final"], "final global")
+    assert seq["stats"] == par["stats"]
+
+    # the trajectory actually moved (guards against a trivially-equal
+    # nothing-happened run)
+    moved = max(
+        float(np.max(np.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(seq["final"]),
+                        jax.tree_util.tree_leaves(seq["init"]))
+    )
+    assert moved > 1e-4, f"global weights barely moved ({moved})"
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    return tmp_path_factory.mktemp("equiv_data")
+
+
+def test_parallel_aggregator_equivalence(data_root, tmp_path, monkeypatch):
+    """FED.PARALLEL_CLIENTS=True over identical batches must reproduce the
+    goldened sequential round loop: per-round checkpoints, per-epoch
+    losses, final global weights, nan_stats."""
+    seq_out = tmp_path / "seq"
+    par_out = tmp_path / "par"
+    seq = _run_sequential(data_root, seq_out)
+    assert set(seq["captured"]) == {
+        (c, ep) for c in range(NUM_CLIENTS)
+        for ep in range(NUM_ROUNDS * LOCAL_EPOCHS)
+    }
+    par = _run_parallel(data_root, par_out, seq["captured"], monkeypatch)
+
+    assert seq["stats"] == {
+        "total_updates": NUM_ROUNDS, "failed_clients": [],
+        "skipped_rounds": 0,
+    }
+    _assert_equivalent(seq, par, seq_out, par_out)
+
+
+def test_parallel_aggregator_nan_gate_equivalence(data_root, tmp_path,
+                                                  monkeypatch, capsys):
+    """Same composition with client 1's weights poisoned at the end of
+    round 0 in BOTH paths: the parallel per-client gate fallback must make
+    the same exclusion decision as the goldened sequential gate (client 1
+    dropped from FedAvg, round still aggregated from client 0, nothing
+    counted as failed), and the post-gate trajectory must stay equal."""
+    seq_out = tmp_path / "seq"
+    par_out = tmp_path / "par"
+    # sequential: poison after client 1's LAST local epoch of round 0
+    seq = _run_sequential(data_root, seq_out,
+                          inject_nan_at=(1, LOCAL_EPOCHS - 1))
+    seq_log = capsys.readouterr().out
+    assert "Client 1 produced invalid weights" in seq_log
+    steps_per_epoch = len(seq["captured"][(0, 0)])
+    # parallel: poison after the last step of round 0 (post-update, the
+    # same point in the trajectory)
+    par = _run_parallel(
+        data_root, par_out, seq["captured"], monkeypatch,
+        poison_step=LOCAL_EPOCHS * steps_per_epoch - 1,
+    )
+    par_log = capsys.readouterr().out
+    # the PARALLEL gate fallback fired (not just the sequential one)
+    assert "Client 1 produced invalid weights" in par_log
+
+    # gate accounting: both rounds aggregated (client 0 stayed valid),
+    # invalid weights are NOT an exception -> failed_clients stays empty
+    assert seq["stats"] == {
+        "total_updates": NUM_ROUNDS, "failed_clients": [],
+        "skipped_rounds": 0,
+    }
+    _assert_equivalent(seq, par, seq_out, par_out)
