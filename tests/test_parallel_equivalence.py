@@ -37,7 +37,8 @@ LOCAL_EPOCHS = 2
 NUM_CLIENTS = 2
 
 
-def _cfg(data_root, out_dir, parallel: bool):
+def _cfg(data_root, out_dir, parallel: bool, rounds=NUM_ROUNDS,
+         local_epochs=LOCAL_EPOCHS, datasets=("Synthetic", "Synthetic")):
     cfg = get_cfg_default()
     cfg.DATASET.ROOT = str(data_root)
     cfg.DATASET.NAME = "Synthetic"
@@ -54,7 +55,7 @@ def _cfg(data_root, out_dir, parallel: bool):
     cfg.OPTIM.WARMUP_EPOCH = 1
     cfg.OPTIM.WARMUP_TYPE = "constant"
     cfg.OPTIM.WARMUP_CONS_LR = 5e-3
-    cfg.OPTIM.MAX_EPOCH = NUM_ROUNDS * LOCAL_EPOCHS
+    cfg.OPTIM.MAX_EPOCH = rounds * local_epochs
     cfg.TRAIN.PRINT_FREQ = 100
     cfg.TRAINER.NAME = "MaPLeFederated"
     cfg.TRAINER.MAPLE.N_CTX = 2
@@ -65,9 +66,9 @@ def _cfg(data_root, out_dir, parallel: bool):
     cfg.SEED = 1
     cfg.VERBOSE = False
     cfg.FED.NUM_CLIENTS = NUM_CLIENTS
-    cfg.FED.NUM_ROUNDS = NUM_ROUNDS
-    cfg.FED.LOCAL_EPOCHS = LOCAL_EPOCHS
-    cfg.FED.DATASETS = ("Synthetic", "Synthetic")
+    cfg.FED.NUM_ROUNDS = rounds
+    cfg.FED.LOCAL_EPOCHS = local_epochs
+    cfg.FED.DATASETS = tuple(datasets)
     cfg.FED.CLASSNAME_ONLY_DATASETS = ()
     cfg.FED.PARALLEL_CLIENTS = parallel
     cfg.FED.CHECKPOINT_EVERY_ROUND = True
@@ -344,3 +345,103 @@ def test_parallel_aggregator_nan_gate_equivalence(data_root, tmp_path,
         "skipped_rounds": 0,
     }
     _assert_equivalent(seq, par, seq_out, par_out)
+
+
+# --------------------------------------------------------------------------
+# parallel-path edge semantics (trainers/maple_fed.py cycled/stacked_batches)
+# --------------------------------------------------------------------------
+
+from federated_multi_modal_tpu.data.dataset_base import DatasetBase  # noqa: E402
+from federated_multi_modal_tpu.data.datasets.synthetic import Synthetic  # noqa: E402
+from federated_multi_modal_tpu.engine.registry import DATASET_REGISTRY  # noqa: E402
+
+
+@DATASET_REGISTRY.register()
+class SyntheticHalfTrain(DatasetBase):
+    """Synthetic with half the train split — forces unequal client epoch
+    lengths in the federated lockstep."""
+
+    def __init__(self, cfg):
+        full = Synthetic(cfg)
+        train = [d for i, d in enumerate(full.train_x) if i % 2 == 0]
+        super().__init__(train_x=train, val=full.val, test=full.test)
+
+
+@DATASET_REGISTRY.register()
+class SyntheticTinyTrain(DatasetBase):
+    """Synthetic with a train split smaller than the batch size — with
+    drop_last this client realizes ZERO train batches."""
+
+    def __init__(self, cfg):
+        full = Synthetic(cfg)
+        super().__init__(train_x=full.train_x[:2], val=full.val,
+                         test=full.test)
+
+
+class _CountingLoader:
+    """Delegating wrapper that counts iterator restarts and yielded
+    batches (to pin the cycled-to-longest-epoch contract)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.iter_calls = 0
+        self.yielded = 0
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        self.iter_calls += 1
+        for b in self.inner:
+            self.yielded += 1
+            yield b
+
+
+def test_parallel_unequal_clients_cycle_to_longest(data_root, tmp_path,
+                                                   capsys):
+    """Documented deviation from the sequential path (which runs each
+    client's own epoch length): under SPMD lockstep, shorter clients cycle
+    their loader — fresh shuffle per restart — until the LONGEST client's
+    epoch finishes, and the round loop announces it."""
+    cfg = _cfg(data_root, tmp_path, parallel=True, rounds=1, local_epochs=1,
+               datasets=("Synthetic", "SyntheticHalfTrain"))
+    fed = build_trainer(cfg)
+    long_len = len(fed.clients[0].train_loader_x)
+    short = _CountingLoader(fed.clients[1].train_loader_x)
+    assert len(short) * 2 == long_len  # 2 vs 4 batches
+    fed.clients[1].train_loader_x = short
+
+    fed.train()
+    out = capsys.readouterr().out
+    assert "[FED] client epoch lengths differ" in out
+    # the short client was restarted exactly once and contributed the full
+    # lockstep epoch worth of batches
+    assert short.iter_calls == 2
+    assert short.yielded == long_len
+    assert fed.nan_stats["total_updates"] == 1
+
+
+def test_parallel_zero_batch_client_raises(data_root, tmp_path):
+    """A client whose train shard realizes zero batches (smaller than the
+    batch size with drop_last) must fail loudly, not silently starve the
+    lockstep."""
+    cfg = _cfg(data_root, tmp_path, parallel=True, rounds=1, local_epochs=1,
+               datasets=("Synthetic", "SyntheticTinyTrain"))
+    fed = build_trainer(cfg)
+    assert len(fed.clients[1].train_loader_x) == 0
+    with pytest.raises(ValueError, match="zero train batches"):
+        fed.train()
+
+
+def test_parallel_heterogeneous_batch_structure_raises(data_root, tmp_path):
+    """Clients whose parsed batches carry different keys (e.g. caption
+    availability differs) cannot be stacked into one (C, B, ...) SPMD
+    batch — the round loop must point at the sequential fallback."""
+    cfg = _cfg(data_root, tmp_path, parallel=True, rounds=1, local_epochs=1)
+    fed = build_trainer(cfg)
+    orig = fed.clients[1].parse_batch_train
+    fed.clients[1].parse_batch_train = lambda b: {
+        **orig(b), "soft_label": jnp.zeros((4, 4), jnp.float32)
+    }
+    with pytest.raises(ValueError, match="homogeneous batch structure"):
+        fed.train()
