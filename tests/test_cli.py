@@ -157,6 +157,84 @@ def test_base2new_scripts_end_to_end(tmp_path):
     assert float(hm.group(1)) >= 0.0
 
 
+def test_federated_cli_end_to_end(tmp_path):
+    """The FLAGSHIP federated path through the real CLI: train.py with
+    --trainer MaPLeFederated (Tiny, Synthetic, 2 rounds) must emit the
+    round summaries, the ``Finished training`` end signal and the
+    ``* accuracy:`` log contract, write the aggregator checkpoint under
+    ``MultiModalPromptLearner_Aggregator/model.pth.tar-{MAX_EPOCH}``, and
+    the checkpoint must round-trip through ``--model-dir <out>
+    --eval-only`` (reference contract:
+    ``/root/reference/trainers/maple_fed.py:388-411``,
+    ``scripts/maple/xd_train_maple.sh:22-30``)."""
+    import os
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["FMM_TPU_PLATFORM"] = "cpu"
+    out_dir = str(tmp_path / "out")
+    common = [
+        sys.executable, os.path.join(repo, "train.py"),
+        "--root", str(tmp_path / "data"),
+        "--seed", "2",
+        "--trainer", "MaPLeFederated",
+        "--dataset-config-file", "configs/datasets/synthetic.yaml",
+        "--config-file",
+        "configs/trainers/MaPLeFederated/"
+        "vit_b16_c2_ep5_batch4_2ctx_cross_datasets.yaml",
+        "--output-dir", out_dir,
+    ]
+    overrides = [
+        "MODEL.BACKBONE.NAME", "Tiny",
+        "INPUT.SIZE", "(32, 32)",
+        "INPUT.CANVAS_SIZE", "40",
+        "TRAINER.MAPLE.PROMPT_DEPTH", "3",
+        "TRAINER.MAPLE.PREC", "fp32",
+        "FED.NUM_ROUNDS", "2",
+        "FED.LOCAL_EPOCHS", "1",
+        "FED.DATASETS", "('Synthetic', 'Synthetic')",
+        "FED.CLASSNAME_ONLY_DATASETS", "()",
+        "DATALOADER.TEST.BATCH_SIZE", "16",
+        "TPU.DATA_PARALLEL", "False",
+        "VERBOSE", "False",
+    ]
+    run = subprocess.run(common + overrides, capture_output=True, text=True,
+                         env=env, cwd=repo, timeout=900)
+    assert run.returncode == 0, (run.stdout[-2000:], run.stderr[-2000:])
+    # round-loop log contract
+    for rnd in (1, 2):
+        assert f"--- Federated Round {rnd}/2 ---" in run.stdout
+        assert re.search(
+            rf"\[Round {rnd}\] Test accuracy \(client 0\) = [\d.]+%",
+            run.stdout), run.stdout[-2000:]
+    assert "Training Summary:" in run.stdout
+    assert "Finished training" in run.stdout
+    assert re.search(r"\* accuracy: \d+\.\d\d%", run.stdout), \
+        run.stdout[-800:]
+    ckpt = os.path.join(
+        out_dir, "MultiModalPromptLearner_Aggregator", "model.pth.tar-2")
+    assert os.path.isfile(ckpt), os.listdir(out_dir)
+    # the tee'd log file carries the same contract for parse_test_res
+    with open(os.path.join(out_dir, "log.txt")) as f:
+        log = f.read()
+    assert "Finished training" in log and "* accuracy:" in log
+
+    # eval-only reload of the aggregator checkpoint
+    eval_dir = str(tmp_path / "eval")
+    run2 = subprocess.run(
+        common[:-1] + [eval_dir, "--model-dir", out_dir, "--eval-only"]
+        + overrides,
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900)
+    assert run2.returncode == 0, (run2.stdout[-2000:], run2.stderr[-2000:])
+    assert re.search(r"Loaded aggregator weights from '.*model\.pth\.tar-2'",
+                     run2.stdout), run2.stdout[-2000:]
+    assert "Broadcasted loaded global weights." in run2.stdout
+    assert re.search(r"\* accuracy: \d+\.\d\d%", run2.stdout), \
+        run2.stdout[-800:]
+
+
 @pytest.mark.parametrize("trainer,cfgfile,model_dirname,extra", [
     ("CoOp", "CoOp/vit_b16.yaml", "prompt_learner", []),
     ("CoCoOp", "CoCoOp/vit_b16_c4_ep10_batch1.yaml", "prompt_learner",
