@@ -1,5 +1,6 @@
 """Reference-checkpoint converter: synthetic torch-named state dicts map
-into names our MaPLe/CoOp trainable trees accept."""
+into names our MaPLe/CoOp trainable trees accept, and the REVERSE export
+produces state dicts the executed reference loads via its own contract."""
 
 import sys
 
@@ -11,6 +12,7 @@ sys.path.insert(0, "tools")
 from convert_reference_checkpoint import (  # noqa: E402
     convert_maple,
     convert_prompt_learner_only,
+    export_maple,
 )
 
 
@@ -105,6 +107,114 @@ def test_converted_maple_loads_into_trainer_tree(tmp_path):
     np.testing.assert_allclose(
         np.asarray(trainer.trainable["prompt_learner"]["ctx"]), 0.25
     )
+
+
+def test_export_maple_is_exact_inverse(tmp_path):
+    """convert_maple(export_maple(flat)) == flat bit-for-bit on a REAL
+    trainer state dict (every name family our MaPLe trainable produces,
+    incl. the class-conditioned buffers the forward map drops)."""
+    import federated_multi_modal_tpu.trainers  # noqa: F401
+    from federated_multi_modal_tpu.config import get_cfg_default
+    from federated_multi_modal_tpu.engine import build_trainer
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.MODEL.BACKBONE.NAME = "Tiny"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.CANVAS_SIZE = 40
+    cfg.TRAINER.NAME = "MaPLe"
+    cfg.TRAINER.MAPLE.PROMPT_DEPTH = 3
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.VERBOSE = False
+    trainer = build_trainer(cfg)
+    flat = trainer._get_state()["state_dict"]
+
+    skipped = []
+    exported = export_maple(flat, skipped=skipped)
+    back = convert_maple(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in exported.items()}
+    )
+    # forward map drops the class-conditioned buffers by contract; the
+    # caption branch has no reference counterpart (per-forward-random in
+    # the reference) and is reported as skipped
+    assert skipped == [k for k in flat if "caption" in k] != []
+    expect = {k: v for k, v in flat.items()
+              if not k.endswith(("token_prefix", "token_suffix"))
+              and "caption" not in k}
+    assert set(back) == set(expect)
+    for k in expect:
+        np.testing.assert_array_equal(back[k], expect[k], err_msg=k)
+
+
+def test_reverse_export_loads_into_executed_reference(tmp_path):
+    """Ours -> torch golden (round-3 verdict task 6): train the REAL MaPLe
+    trainer a few steps on the converted reference weights, export via
+    ``export_maple``, load into the EXECUTED reference ``CustomCLIP``
+    through its own load contract (prefix/suffix drop +
+    ``load_state_dict(strict=False)``, ``/root/reference/trainers/maple.py:
+    683-716``), and the two models must produce identical logits — the
+    parity pillar runnable in BOTH directions the day real weights exist."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from reference_harness import fp32_reference, load_reference
+    from test_reference_golden import CLASSNAMES, build_maple_pair
+    from test_reference_golden_training import _build_our_trainer
+
+    ref_mod = load_reference()
+    cc, arch, params, pl, const = build_maple_pair(ref_mod, CLASSNAMES)
+    trainer = _build_our_trainer(tmp_path, arch, params, pl,
+                                 ref_mod.bpe_path)
+
+    rng = np.random.default_rng(23)
+    for _ in range(3):
+        trainer.train_step({
+            "image": jnp.asarray(
+                rng.standard_normal((4, 64, 64, 3)).astype(np.float32) * 0.5
+            ),
+            "label": jnp.asarray(
+                rng.integers(0, len(CLASSNAMES), 4).astype(np.int32)
+            ),
+        })
+
+    flat = trainer._get_state()["state_dict"]
+    # training moved the prompt learner (the comparison is non-vacuous)
+    assert not np.allclose(flat["prompt_learner.ctx"], np.asarray(pl["ctx"]))
+
+    sd_torch = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_maple(flat).items()
+    }
+    # the reference's own load contract
+    del sd_torch["prompt_learner.token_prefix"]
+    del sd_torch["prompt_learner.token_suffix"]
+    cc2 = copy.deepcopy(cc)
+    with fp32_reference():
+        res = cc2.load_state_dict(sd_torch, strict=False)
+    # every exported tensor landed on a reference module name
+    assert res.unexpected_keys == [], res.unexpected_keys
+    # missing = frozen leaves our trainable never carries + the dropped
+    # class-conditioned buffers; no trained prompt tensor may be missing
+    missing_pl = [k for k in res.missing_keys
+                  if k.startswith("prompt_learner.")]
+    assert set(missing_pl) <= {
+        "prompt_learner.token_prefix", "prompt_learner.token_suffix",
+    }, missing_pl
+
+    imgs = rng.standard_normal((3, 64, 64, 3)).astype(np.float32)
+    cc2.eval()
+    with fp32_reference(), torch.no_grad():
+        logits_ref = cc2(torch.from_numpy(imgs).permute(0, 3, 1, 2)).numpy()
+    logits_ours = np.asarray(
+        jax.device_get(trainer.model_inference(jnp.asarray(imgs)))
+    )
+    np.testing.assert_allclose(logits_ours, logits_ref, atol=5e-4,
+                               rtol=5e-4)
 
 
 def test_convert_coop_and_cocoop():

@@ -125,6 +125,112 @@ def convert_maple(sd) -> dict:
     return out
 
 
+_BLOCK_EXPORT = {
+    # our leaf name -> (reference leaf name, transpose back?)
+    "attn.w_qkv": ("attn.in_proj_weight", True),
+    "attn.b_qkv": ("attn.in_proj_bias", False),
+    "attn.w_out": ("attn.out_proj.weight", True),
+    "attn.b_out": ("attn.out_proj.bias", False),
+    "ln_1.scale": ("ln_1.weight", False),
+    "ln_1.bias": ("ln_1.bias", False),
+    "ln_2.scale": ("ln_2.weight", False),
+    "ln_2.bias": ("ln_2.bias", False),
+    "mlp.w_fc": ("mlp.c_fc.weight", True),
+    "mlp.b_fc": ("mlp.c_fc.bias", False),
+    "mlp.w_proj": ("mlp.c_proj.weight", True),
+    "mlp.b_proj": ("mlp.c_proj.bias", False),
+}
+
+_SIMPLE_EXPORT = {
+    # exact inverse of the ``simple`` table in convert_maple
+    "clip.visual.ln_pre.scale": "image_encoder.ln_pre.weight",
+    "clip.visual.ln_pre.bias": "image_encoder.ln_pre.bias",
+    "clip.visual.ln_post.scale": "image_encoder.ln_post.weight",
+    "clip.visual.ln_post.bias": "image_encoder.ln_post.bias",
+    "clip.visual.class_embedding": "image_encoder.class_embedding",
+    "clip.visual.positional_embedding":
+        "image_encoder.positional_embedding",
+    "clip.visual.proj": "image_encoder.proj",
+    "clip.text.ln_final.scale": "text_encoder.ln_final.weight",
+    "clip.text.ln_final.bias": "text_encoder.ln_final.bias",
+    "clip.text.positional_embedding": "text_encoder.positional_embedding",
+    "clip.text.text_projection": "text_encoder.text_projection",
+}
+
+
+def export_maple(flat, skipped=None) -> dict:
+    """Inverse of :func:`convert_maple`: our flat dotted-name numpy state
+    dict -> a torch-named ``CustomCLIP`` state dict the reference loads via
+    its OWN prefix/suffix-drop contract
+    (``/root/reference/trainers/maple.py:683-716``,
+    ``load_state_dict(strict=False)`` on the registered full model).
+    Makes the accuracy-parity pillar runnable in BOTH directions: models
+    trained here can be evaluated by the original stack.
+
+    Caption-branch leaves (``caption_pool_w``/``caption_proj``) are
+    collected into ``skipped`` instead of exported: the reference has no
+    trained caption parameters to map to — it draws its caption projection
+    randomly on EVERY forward inside the image encoder
+    (``/root/reference/clip/model.py``; documented deviation, see
+    ``trainers/maple.py`` module docstring)."""
+    out = {}
+    if skipped is None:
+        skipped = []
+    for k, v in flat.items():
+        v = _np(v)
+        if k.startswith("prompt_learner."):
+            sub = k[len("prompt_learner."):]
+            if sub.startswith(("caption_pool_w", "caption_proj")):
+                skipped.append(k)
+                continue
+            if sub in ("token_prefix", "token_suffix"):
+                # class-conditioned buffers: exported verbatim (the
+                # reference's own save carries them; its load deletes them)
+                out[k] = v
+            elif sub == "ctx":
+                out[k] = v
+            elif m := re.match(r"proj_(lang_to_vis|vis_to_lang)\.(w|b)", sub):
+                which, wb = m.groups()
+                name = (f"prompt_learner.proj_{which}."
+                        + ("weight" if wb == "w" else "bias"))
+                out[name] = v.T if wb == "w" else v
+            elif m := re.match(r"text_deep_params\.(\d+)", sub):
+                out["prompt_learner.compound_prompts_text_parameters."
+                    f"{m.group(1)}"] = v
+            elif m := re.match(r"vis_deep_params\.(\d+)", sub):
+                out["prompt_learner.visual_deep_prompts_parameters."
+                    f"{m.group(1)}"] = v
+            elif m := re.match(r"couplers\.(\d+)\.(w|b)", sub):
+                i, wb = m.groups()
+                name = (f"prompt_learner.compound_prompt_projections.{i}."
+                        + ("weight" if wb == "w" else "bias"))
+                out[name] = v.T if wb == "w" else v
+            else:
+                raise KeyError(f"no reference mapping for {k!r}")
+        elif m := re.match(r"clip\.(visual|text)\.blocks\.(\d+)\.(.+)", k):
+            tower, i, leaf = m.groups()
+            if leaf not in _BLOCK_EXPORT:
+                raise KeyError(f"no reference mapping for {k!r}")
+            name, transpose = _BLOCK_EXPORT[leaf]
+            enc = "image_encoder" if tower == "visual" else "text_encoder"
+            out[f"{enc}.transformer.resblocks.{i}.{name}"] = (
+                v.T if transpose else v
+            )
+        elif k in _SIMPLE_EXPORT:
+            out[_SIMPLE_EXPORT[k]] = v
+        elif k == "clip.visual.conv1.w":
+            # (P*P*3, O) matmul kernel back to torch conv (O, 3, P, P)
+            o = v.shape[1]
+            p = int(round((v.shape[0] // 3) ** 0.5))
+            assert p * p * 3 == v.shape[0], v.shape
+            out["image_encoder.conv1.weight"] = (
+                v.reshape(p, p, 3, o).transpose(3, 2, 0, 1)
+            )
+        else:
+            raise KeyError(f"no reference mapping for {k!r}")
+    return out
+
+
 def convert_prompt_learner_only(sd, trainer: str) -> dict:
     """CoOp / CoCoOp / IVLP / VPT register only the prompt learner."""
     out = {}
@@ -158,13 +264,47 @@ def convert_prompt_learner_only(sd, trainer: str) -> dict:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("src", help="reference .pth.tar checkpoint")
+    parser.add_argument("src", help="reference .pth.tar checkpoint "
+                                    "(--reverse: OUR checkpoint)")
     parser.add_argument("dst", help="output checkpoint path")
     parser.add_argument("--trainer", default="MaPLe",
                         choices=["MaPLe", "CoOp", "CoCoOp", "IVLP", "VPT"])
+    parser.add_argument("--reverse", action="store_true",
+                        help="export OUR checkpoint to a torch-named "
+                             "reference checkpoint (MaPLe only): the "
+                             "original stack's load_model "
+                             "(trainers/maple.py:683-716) accepts it")
     args = parser.parse_args()
 
     import torch
+
+    if args.reverse:
+        if args.trainer != "MaPLe":
+            parser.error("--reverse currently supports --trainer MaPLe")
+        import pickle
+
+        with open(args.src, "rb") as f:
+            ours = pickle.load(f)
+        sd_np = ours.get("state_dict", ours)
+        skipped = []
+        sd_torch = {
+            k: torch.from_numpy(np.array(v, copy=True))
+            for k, v in export_maple(sd_np, skipped=skipped).items()
+        }
+        if skipped:
+            print(f"Skipped {len(skipped)} caption-branch tensor(s) with "
+                  f"no reference counterpart: {skipped}")
+        os.makedirs(os.path.dirname(args.dst) or ".", exist_ok=True)
+        torch.save({
+            "epoch": ours.get("epoch", 0),
+            "state_dict": sd_torch,
+            "optimizer": None,
+            "scheduler": None,
+            "val_result": ours.get("val_result"),
+            "exported_from": args.src,
+        }, args.dst)
+        print(f"Exported {len(sd_torch)} tensors -> {args.dst}")
+        return
 
     ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
