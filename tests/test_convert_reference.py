@@ -217,6 +217,54 @@ def test_reverse_export_loads_into_executed_reference(tmp_path):
                                rtol=5e-4)
 
 
+def test_reverse_export_cli(tmp_path):
+    """The ``--reverse`` CLI surface: our pickle checkpoint in, a
+    torch-loadable reference checkpoint out, caption-branch tensors
+    reported as skipped."""
+    import os
+    import pickle
+    import subprocess
+
+    d_text, d_vis, n_ctx = 8, 12, 2
+    rng = np.random.default_rng(0)
+    flat = {
+        "prompt_learner.ctx": rng.standard_normal((n_ctx, d_text)).astype(
+            np.float32),
+        "prompt_learner.proj_lang_to_vis.w": rng.standard_normal(
+            (d_text, d_vis)).astype(np.float32),
+        "prompt_learner.proj_lang_to_vis.b": rng.standard_normal(
+            d_vis).astype(np.float32),
+        "prompt_learner.caption_pool_w": rng.standard_normal(
+            d_text).astype(np.float32),
+        "clip.visual.blocks.0.ln_1.scale": rng.standard_normal(
+            d_vis).astype(np.float32),
+        "clip.text.ln_final.scale": rng.standard_normal(d_text).astype(
+            np.float32),
+    }
+    src = tmp_path / "model.pth.tar-2"
+    with open(src, "wb") as f:
+        pickle.dump({"epoch": 2, "state_dict": flat, "optimizer": None,
+                     "scheduler": None, "val_result": None}, f)
+    dst = tmp_path / "ref" / "model.pth.tar-2"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "tools", "convert_reference_checkpoint.py"),
+         "--reverse", "--trainer", "MaPLe", str(src), str(dst)],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "caption_pool_w" in out.stdout  # skipped + reported
+    ckpt = torch.load(str(dst), map_location="cpu", weights_only=False)
+    sd = ckpt["state_dict"]
+    assert ckpt["epoch"] == 2
+    assert sd["prompt_learner.proj_lang_to_vis.weight"].shape == (
+        d_vis, d_text)  # transposed back to torch convention
+    assert "image_encoder.transformer.resblocks.0.ln_1.weight" in sd
+    assert "text_encoder.ln_final.weight" in sd
+    assert not any("caption" in k for k in sd)
+
+
 def test_convert_coop_and_cocoop():
     sd = {
         "ctx": torch.randn(4, 8),
