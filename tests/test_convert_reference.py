@@ -13,6 +13,7 @@ from convert_reference_checkpoint import (  # noqa: E402
     convert_maple,
     convert_prompt_learner_only,
     export_maple,
+    export_prompt_learner_only,
 )
 
 
@@ -284,3 +285,68 @@ def test_convert_coop_and_cocoop():
         "prompt_learner.meta_net.linear2.b",
     }
     assert out["prompt_learner.meta_net.linear1.w"].shape == (16, 2)
+
+    # reverse is the exact inverse on the kept tensors (prefix/suffix are
+    # dropped by the forward map, so the round trip covers the rest)
+    back = export_prompt_learner_only(out, "CoCoOp")
+    for k in ("ctx", "meta_net.linear1.weight", "meta_net.linear2.bias"):
+        np.testing.assert_array_equal(back[k], sd[k].numpy(), err_msg=k)
+
+    # VPT keys refuse reverse export (encounter-order lossy forward map)
+    import pytest
+
+    with pytest.raises(KeyError, match="lossy"):
+        export_prompt_learner_only({"vpt.shallow": np.zeros((2, 4))}, "VPT")
+
+
+def test_reverse_export_coop_loads_into_executed_reference():
+    """Ours -> torch for the prompt-learner-only families: a CoOp ctx
+    trained HERE lands back in the EXECUTED reference ``PromptLearner``
+    through its own load contract (prefix/suffix drop +
+    ``load_state_dict(strict=False)``, the Dassl ``load_model`` path the
+    reference trainers share), and a CoCoOp meta_net round-trips with the
+    transpose convention intact."""
+    from reference_harness import (
+        fp32_reference,
+        load_reference,
+        our_tokenizer_with,
+    )
+    from test_reference_golden import CLASSNAMES
+    from test_reference_golden_more import _coop_cfg, _tiny_clip
+
+    ref_mod = load_reference()
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    model, _, arch, params = _tiny_clip(ref_mod, design, seed=11)
+    with fp32_reference(), our_tokenizer_with(ref_mod.bpe_path):
+        torch.manual_seed(23)
+        pl = ref_mod.coop.PromptLearner(_coop_cfg(4), CLASSNAMES, model)
+
+        # simulate training here: perturb the converted ctx, export back
+        flat = convert_prompt_learner_only(
+            {k: v.detach().clone() for k, v in pl.state_dict().items()},
+            "CoOp")
+        trained = flat["prompt_learner.ctx"] + 0.125
+        flat["prompt_learner.ctx"] = trained
+
+        sd = {k: torch.from_numpy(np.array(v, copy=True))
+              for k, v in export_prompt_learner_only(flat, "CoOp").items()}
+        # reference load contract (coop.py load_model): drop the
+        # class-conditioned buffers, non-strict load (the forward
+        # converter already dropped them from `flat`; a checkpoint saved
+        # by OUR trainers would carry them, so pop defensively)
+        sd.pop("token_prefix", None)
+        sd.pop("token_suffix", None)
+        torch.manual_seed(99)  # different init: the load must overwrite it
+        pl2 = ref_mod.coop.PromptLearner(_coop_cfg(4), CLASSNAMES, model)
+        res = pl2.load_state_dict(sd, strict=False)
+        assert res.unexpected_keys == [], res.unexpected_keys
+        np.testing.assert_allclose(pl2.ctx.detach().numpy(), trained,
+                                   atol=0)
+        # the loaded learner assembles prompts with OUR trained ctx
+        # (shared ctx broadcast to every class row, position "end")
+        prompts = pl2().detach().numpy()
+        np.testing.assert_allclose(
+            prompts[:, 1:5, :],
+            np.broadcast_to(trained, prompts[:, 1:5, :].shape),
+            atol=1e-6)

@@ -262,6 +262,36 @@ def convert_prompt_learner_only(sd, trainer: str) -> dict:
     return out
 
 
+def export_prompt_learner_only(flat, trainer: str) -> dict:
+    """Inverse of :func:`convert_prompt_learner_only` for CoOp / CoCoOp /
+    IVLP: our flat names back to the reference prompt-learner module names
+    (``trainers/coop.py`` registers ``prompt_learner`` only; its
+    ``load_model`` drops token_prefix/suffix and loads ``strict=False``
+    like MaPLe's).  VPT is NOT reversible: the forward map flattens the
+    reference's VPT names in encounter order, discarding the originals."""
+    out = {}
+    for k, v in flat.items():
+        v = _np(v)
+        if k.startswith("vpt."):
+            raise KeyError(
+                f"cannot reverse-export {k!r}: the forward VPT map is "
+                "encounter-order lossy (reference names discarded)"
+            )
+        if not k.startswith("prompt_learner."):
+            raise KeyError(f"no reference mapping for {k!r} "
+                           f"({trainer} registers prompt_learner only)")
+        sub = k[len("prompt_learner."):]
+        if m := re.match(r"meta_net\.(linear[12])\.(w|b)", sub):
+            lin, wb = m.groups()
+            name = f"meta_net.{lin}." + ("weight" if wb == "w" else "bias")
+            out[name] = v.T if wb == "w" else v
+        else:
+            # ctx, token_prefix/suffix and the generic IVLP passthrough
+            # tensors were stored verbatim by the forward map
+            out[sub] = v
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("src", help="reference .pth.tar checkpoint "
@@ -271,25 +301,32 @@ def main():
                         choices=["MaPLe", "CoOp", "CoCoOp", "IVLP", "VPT"])
     parser.add_argument("--reverse", action="store_true",
                         help="export OUR checkpoint to a torch-named "
-                             "reference checkpoint (MaPLe only): the "
-                             "original stack's load_model "
-                             "(trainers/maple.py:683-716) accepts it")
+                             "reference checkpoint the original stack's "
+                             "load_model accepts (MaPLe: full CustomCLIP "
+                             "names, trainers/maple.py:683-716; CoOp/"
+                             "CoCoOp/IVLP: prompt-learner names; VPT is "
+                             "not reversible)")
     args = parser.parse_args()
 
     import torch
 
     if args.reverse:
-        if args.trainer != "MaPLe":
-            parser.error("--reverse currently supports --trainer MaPLe")
+        if args.trainer == "VPT":
+            parser.error("--reverse cannot target VPT (the forward VPT "
+                         "map is encounter-order lossy)")
         import pickle
 
         with open(args.src, "rb") as f:
             ours = pickle.load(f)
         sd_np = ours.get("state_dict", ours)
         skipped = []
+        if args.trainer == "MaPLe":
+            exported = export_maple(sd_np, skipped=skipped)
+        else:
+            exported = export_prompt_learner_only(sd_np, args.trainer)
         sd_torch = {
             k: torch.from_numpy(np.array(v, copy=True))
-            for k, v in export_maple(sd_np, skipped=skipped).items()
+            for k, v in exported.items()
         }
         if skipped:
             print(f"Skipped {len(skipped)} caption-branch tensor(s) with "
