@@ -122,6 +122,35 @@ def test_bench_cli_data_parallel_smoke():
     assert "secondary_error" not in rec
 
 
+def test_bench_secondary_budget_degrades_gracefully():
+    """FMM_BENCH_SECONDARY_BUDGET=0: the secondary phases are skipped with
+    per-phase error fields but the primary artifact still lands as one
+    valid JSON line (the driver must never lose the train number to a
+    secondary stall)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["FMM_BENCH_SECONDARY_BUDGET"] = "0"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--platform", "cpu",
+         "--backbone", "Tiny", "--batch-size", "8", "--n-cls", "4",
+         "--steps", "2", "--depth", "3", "--attention", "xla"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["value"] > 0
+    assert "budget exhausted" in rec["fed_step_error"]
+    assert "budget exhausted" in rec["eval_error"]
+    assert "eval_images_per_sec" not in rec
+
+
 def test_bench_cli_modes_smoke(tmp_path):
     """The eval / fed-step / loader bench modes each print exactly one JSON
     line with the contract keys (VERDICT r1 tasks 3-4)."""
