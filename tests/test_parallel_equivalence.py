@@ -421,6 +421,34 @@ def test_parallel_unequal_clients_cycle_to_longest(data_root, tmp_path,
     assert fed.nan_stats["total_updates"] == 1
 
 
+def test_parallel_round_checkpoint_resume(data_root, tmp_path):
+    """Preemption elasticity holds on the SPMD path too: a parallel run
+    with FED.CHECKPOINT_EVERY_ROUND writes per-round aggregator
+    checkpoints, and a fresh PARALLEL trainer with RESUME restarts from
+    the newest round with the checkpointed global weights."""
+    import os.path as osp
+
+    cfg = _cfg(data_root, tmp_path / "out", parallel=True, rounds=2,
+               local_epochs=1)
+    fed = build_trainer(cfg)
+    fed.train()
+    agg = osp.join(str(tmp_path / "out"),
+                   "MultiModalPromptLearner_Aggregator")
+    assert osp.exists(osp.join(agg, "model.pth.tar-round1"))
+    assert osp.exists(osp.join(agg, "model.pth.tar-round2"))
+
+    cfg2 = _cfg(data_root, tmp_path / "resume", parallel=True, rounds=3,
+                local_epochs=1)
+    cfg2.defrost()
+    cfg2.RESUME = str(tmp_path / "out")
+    cfg2.freeze()
+    resumed = build_trainer(cfg2)
+    assert resumed._resume_round() == 2
+    np.testing.assert_allclose(
+        np.asarray(resumed.global_weights["prompt_learner"]["ctx"]),
+        np.asarray(fed.global_weights["prompt_learner"]["ctx"]), atol=1e-6)
+
+
 def test_parallel_zero_batch_client_raises(data_root, tmp_path):
     """A client whose train shard realizes zero batches (smaller than the
     batch size with drop_last) must fail loudly, not silently starve the
