@@ -619,6 +619,11 @@ class FunctionalTrainerMixin:
         devs = np.asarray(jax.devices())
         self._dp_mesh = Mesh(devs, ("data",))
         self._dp_multihost = jax.process_count() > 1
+        import os as _os
+
+        self._dp_verify_scalars = _os.environ.get(
+            "FMM_TPU_MULTIHOST_VERIFY_SCALARS", "0"
+        ).lower() not in ("0", "", "false", "off")
         self._dp_local_n = jax.local_device_count()
         self._dp_sharded = NamedSharding(self._dp_mesh, PartitionSpec("data"))
         self._dp_replicated = NamedSharding(self._dp_mesh, PartitionSpec())
@@ -642,20 +647,37 @@ class FunctionalTrainerMixin:
                 return x
             sharded = x.ndim >= 1 and x.shape[0] > 0 and x.shape[0] % n == 0
             if self._dp_multihost:
-                if not sharded:
+                if x.ndim >= 1 and not sharded:
                     # replicating an array whose per-process values DIFFER
                     # would silently train on inconsistent data (the
                     # replicated spec asserts identity without checking) —
-                    # refuse instead.  Covers 0-d scalars too: a
-                    # per-process-differing scalar leaf is just as silent a
-                    # divergence as a ragged batch.
+                    # refuse instead
                     raise ValueError(
-                        "multi-host DP requires every batch leaf to carry a "
-                        f"leading axis divisible by the local device count "
-                        f"({n}); got shape {x.shape}. Pad the batch, change "
-                        "DATALOADER.*.BATCH_SIZE, or lift scalar leaves "
-                        "into per-sample arrays"
+                        "multi-host DP requires every batch leaf's axis 0 "
+                        f"({x.shape[0]}) to be divisible by the local "
+                        f"device count ({n}); pad the batch or change "
+                        "DATALOADER.*.BATCH_SIZE"
                     )
+                if x.ndim == 0 and self._dp_verify_scalars:
+                    # 0-d leaves replicate WITHOUT an identity check by
+                    # default (they must be identical on every process —
+                    # e.g. a loss weight derived from the shared config);
+                    # FMM_TPU_MULTIHOST_VERIFY_SCALARS=1 turns on a
+                    # debug-mode all-gather that catches a silently
+                    # diverging scalar at the cost of one tiny cross-host
+                    # sync per scalar leaf per step
+                    from jax.experimental import multihost_utils
+
+                    gathered = np.asarray(
+                        multihost_utils.process_allgather(np.asarray(x))
+                    )
+                    if not np.all(gathered == gathered.ravel()[0]):
+                        raise ValueError(
+                            "0-d batch leaf differs across processes "
+                            f"(per-process values {gathered.ravel()}); "
+                            "multi-host DP replicates scalars and "
+                            "requires them identical everywhere"
+                        )
                 # train batches come off the host loader as numpy already;
                 # the asarray is a no-op there (scalars are tiny)
                 return jax.make_array_from_process_local_data(

@@ -181,6 +181,18 @@ CHILD_DP = textwrap.dedent(
     except ValueError as e:
         assert "divisible" in str(e), e
 
+    # 0-d scalar leaves replicate; with the debug verify knob an
+    # identical scalar passes and a per-process-DIFFERING one raises
+    t._dp_verify_scalars = True
+    ok = t._dp_shard({"x": x_local, "s": np.float32(2.0)})
+    assert ok["s"].shape == ()
+    try:
+        t._dp_shard({"x": x_local, "s": np.float32(1.0 + pid)})
+        raise SystemExit("differing scalar did not raise under verify")
+    except ValueError as e:
+        assert "differs across processes" in str(e), e
+    t._dp_verify_scalars = False
+
     # eval is process-LOCAL under multi-host DP: model_inference must use
     # a host snapshot of the (global, fully-replicated) trained state and
     # return local-batch-sized logits on local devices
