@@ -19,6 +19,19 @@ if os.environ.get("FMM_TPU_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["FMM_TPU_PLATFORM"])
 
+# persistent compilation cache: repeated CLI runs in one container skip
+# recompiling HLO-identical programs (same default dir as bench.py;
+# override/disable via JAX_COMPILATION_CACHE_DIR)
+try:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/fmm_jax_cache"),
+    )
+except Exception:
+    pass
+
 from federated_multi_modal_tpu.config import get_cfg_default
 from federated_multi_modal_tpu.engine import build_trainer
 from federated_multi_modal_tpu.utils import (
