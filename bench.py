@@ -829,6 +829,12 @@ def main():
         dt = time.time() - t0
 
     ips = args.steps * B / dt / n_dev
+    primary_args = (
+        "maple_train_images_per_sec_per_chip", ips,
+        f"batch={B} n_cls={args.n_cls} steps={args.steps} "
+        f"dispatch={args.dispatch} devices={n_dev} wall={dt:.2f}s "
+        f"loss={loss_val:.4f} device={jax.devices()[0]}",
+    )
     # same-session secondary metrics (round-3 verdict Weak #3): the driver
     # records only this one line, so the eval fast path and the SPMD
     # federated step ride it as extra fields — measured in THIS process,
@@ -842,13 +848,32 @@ def main():
         # phase first (measured cold costs: fed-step ~2.5 min, eval ~5.5
         # min, compile-dominated): a cold-cache compile stall must never
         # cost the driver its primary artifact, and an eval stall must not
-        # take the already-measured fed-step number down with it
+        # take the already-measured fed-step number down with it.
+        # SIGALRM interrupts blocked socket reads (this backend compiles
+        # over an HTTP tunnel) but NOT a stall inside C code that never
+        # returns to the interpreter — the watchdog thread below covers
+        # that case by force-emitting the already-measured primary line
+        # and hard-exiting.
         import os
         import signal
+        import threading
 
         budget = int(os.environ.get("FMM_BENCH_SECONDARY_BUDGET", "600"))
         deadline = time.time() + budget
         extra_fields = {}
+
+        def _watchdog_fire():
+            _emit(*primary_args, extra_fields={
+                **extra_fields,
+                "secondary_error": "watchdog: hard stall in secondary "
+                                   "measurement (uninterruptible)",
+            })
+            sys.stdout.flush()
+            os._exit(0)
+
+        watchdog = threading.Timer(budget + 90, _watchdog_fire)
+        watchdog.daemon = True
+        watchdog.start()
 
         def guarded(name, fn):
             remaining = int(deadline - time.time())
@@ -880,13 +905,8 @@ def main():
         if res:
             extra_fields["eval_images_per_sec"] = round(res[0], 2)
             secondary_info.append(res[1])
-    _emit(
-        "maple_train_images_per_sec_per_chip", ips,
-        f"batch={B} n_cls={args.n_cls} steps={args.steps} "
-        f"dispatch={args.dispatch} devices={n_dev} wall={dt:.2f}s "
-        f"loss={loss_val:.4f} device={jax.devices()[0]}",
-        extra_fields=extra_fields,
-    )
+        watchdog.cancel()
+    _emit(*primary_args, extra_fields=extra_fields)
     for info in secondary_info:
         print(f"# {info}", file=sys.stderr)
 

@@ -665,16 +665,27 @@ class FunctionalTrainerMixin:
                     # FMM_TPU_MULTIHOST_VERIFY_SCALARS=1 turns on a
                     # debug-mode all-gather that catches a silently
                     # diverging scalar at the cost of one tiny cross-host
-                    # sync per scalar leaf per step
+                    # sync per scalar leaf per step.  The knob gates a
+                    # COLLECTIVE: it must be set on EVERY process (a
+                    # partial enable deadlocks here waiting for the
+                    # processes that skipped the gather).
                     from jax.experimental import multihost_utils
 
                     gathered = np.asarray(
                         multihost_utils.process_allgather(np.asarray(x))
+                    ).ravel()
+                    # NaN-aware: an identically-NaN scalar on every
+                    # process is consistent (the NaN itself will trip the
+                    # training-side finite gates, not this check)
+                    same = (gathered == gathered[0]) | (
+                        np.isnan(gathered) & np.isnan(gathered[0])
+                        if np.issubdtype(gathered.dtype, np.floating)
+                        else False
                     )
-                    if not np.all(gathered == gathered.ravel()[0]):
+                    if not np.all(same):
                         raise ValueError(
                             "0-d batch leaf differs across processes "
-                            f"(per-process values {gathered.ravel()}); "
+                            f"(per-process values {gathered}); "
                             "multi-host DP replicates scalars and "
                             "requires them identical everywhere"
                         )

@@ -636,9 +636,11 @@ def _group_kernel(*refs, n_blocks, n_head, scale, valid_T, n_chunks,
     n_inject = sum(inject_flags)
     prefs = refs[1 + _GROUP_WEIGHT_KEYS * n_blocks:
                  1 + _GROUP_WEIGHT_KEYS * n_blocks + n_inject]
-    # positional, not refs[-2]: with has_extra and zero injecting blocks
-    # refs[-2] would alias the last weight ref (the public API rejects that
-    # combination, but the kernel must not rely on it)
+    # positional rather than refs[-2]: the layout is
+    # [x, 12*n_blocks weights, n_inject prompts, extra?, out], so both
+    # forms agree whenever has_extra — the positional index just states
+    # the layout explicitly instead of counting from the end (the
+    # extra-without-injection combination is rejected at the public API)
     eref = (refs[1 + _GROUP_WEIGHT_KEYS * n_blocks + n_inject]
             if has_extra else None)
 

@@ -119,7 +119,7 @@ def test_bench_cli_data_parallel_smoke():
     # the one line (round-3 verdict Weak #3)
     assert rec["eval_images_per_sec"] > 0
     assert rec["fed_step_images_per_sec"] > 0
-    assert "secondary_error" not in rec
+    assert "fed_step_error" not in rec and "eval_error" not in rec
 
 
 def test_bench_secondary_budget_degrades_gracefully():

@@ -43,25 +43,47 @@ def _np(t):
         return np.asarray(t, dtype=np.float32)
 
 
+# Single source of truth for both conversion directions (the reverse
+# tables used to be hand-transcribed inverses and could silently drift):
+#   our block-leaf name -> (reference block-leaf name, transpose?)
+_BLOCK_LEAVES = {
+    "attn.w_qkv": ("attn.in_proj_weight", True),
+    "attn.b_qkv": ("attn.in_proj_bias", False),
+    "attn.w_out": ("attn.out_proj.weight", True),
+    "attn.b_out": ("attn.out_proj.bias", False),
+    "ln_1.scale": ("ln_1.weight", False),
+    "ln_1.bias": ("ln_1.bias", False),
+    "ln_2.scale": ("ln_2.weight", False),
+    "ln_2.bias": ("ln_2.bias", False),
+    "mlp.w_fc": ("mlp.c_fc.weight", True),
+    "mlp.b_fc": ("mlp.c_fc.bias", False),
+    "mlp.w_proj": ("mlp.c_proj.weight", True),
+    "mlp.b_proj": ("mlp.c_proj.bias", False),
+}
+
+#   our full leaf name -> reference full leaf name (no transpose)
+_SIMPLE_LEAVES = {
+    "clip.visual.ln_pre.scale": "image_encoder.ln_pre.weight",
+    "clip.visual.ln_pre.bias": "image_encoder.ln_pre.bias",
+    "clip.visual.ln_post.scale": "image_encoder.ln_post.weight",
+    "clip.visual.ln_post.bias": "image_encoder.ln_post.bias",
+    "clip.visual.class_embedding": "image_encoder.class_embedding",
+    "clip.visual.positional_embedding":
+        "image_encoder.positional_embedding",
+    "clip.visual.proj": "image_encoder.proj",
+    "clip.text.ln_final.scale": "text_encoder.ln_final.weight",
+    "clip.text.ln_final.bias": "text_encoder.ln_final.bias",
+    "clip.text.positional_embedding": "text_encoder.positional_embedding",
+    "clip.text.text_projection": "text_encoder.text_projection",
+}
+
+
 def _block_map(src, dst, i, sd, out):
-    pairs = {
-        f"{src}.attn.in_proj_weight": (f"{dst}.attn.w_qkv", True),
-        f"{src}.attn.in_proj_bias": (f"{dst}.attn.b_qkv", False),
-        f"{src}.attn.out_proj.weight": (f"{dst}.attn.w_out", True),
-        f"{src}.attn.out_proj.bias": (f"{dst}.attn.b_out", False),
-        f"{src}.ln_1.weight": (f"{dst}.ln_1.scale", False),
-        f"{src}.ln_1.bias": (f"{dst}.ln_1.bias", False),
-        f"{src}.ln_2.weight": (f"{dst}.ln_2.scale", False),
-        f"{src}.ln_2.bias": (f"{dst}.ln_2.bias", False),
-        f"{src}.mlp.c_fc.weight": (f"{dst}.mlp.w_fc", True),
-        f"{src}.mlp.c_fc.bias": (f"{dst}.mlp.b_fc", False),
-        f"{src}.mlp.c_proj.weight": (f"{dst}.mlp.w_proj", True),
-        f"{src}.mlp.c_proj.bias": (f"{dst}.mlp.b_proj", False),
-    }
-    for k, (name, transpose) in pairs.items():
+    for ours, (theirs, transpose) in _BLOCK_LEAVES.items():
+        k = f"{src}.{theirs}"
         if k in sd:
             v = _np(sd[k])
-            out[name] = v.T if transpose else v
+            out[f"{dst}.{ours}"] = v.T if transpose else v
 
 
 def convert_maple(sd) -> dict:
@@ -103,19 +125,7 @@ def convert_maple(sd) -> dict:
                 f"text_encoder.transformer.resblocks.{i}",
                 f"clip.text.blocks.{i}", i, sd, out,
             )
-    simple = {
-        "image_encoder.ln_pre.weight": "clip.visual.ln_pre.scale",
-        "image_encoder.ln_pre.bias": "clip.visual.ln_pre.bias",
-        "image_encoder.ln_post.weight": "clip.visual.ln_post.scale",
-        "image_encoder.ln_post.bias": "clip.visual.ln_post.bias",
-        "image_encoder.class_embedding": "clip.visual.class_embedding",
-        "image_encoder.positional_embedding": "clip.visual.positional_embedding",
-        "image_encoder.proj": "clip.visual.proj",
-        "text_encoder.ln_final.weight": "clip.text.ln_final.scale",
-        "text_encoder.ln_final.bias": "clip.text.ln_final.bias",
-        "text_encoder.positional_embedding": "clip.text.positional_embedding",
-        "text_encoder.text_projection": "clip.text.text_projection",
-    }
+    simple = {theirs: ours for ours, theirs in _SIMPLE_LEAVES.items()}
     for src, dst in simple.items():
         if src in sd:
             out[dst] = _np(sd[src])
@@ -123,39 +133,6 @@ def convert_maple(sd) -> dict:
         w = _np(sd["image_encoder.conv1.weight"])  # (O, 3, P, P)
         out["clip.visual.conv1.w"] = w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0])
     return out
-
-
-_BLOCK_EXPORT = {
-    # our leaf name -> (reference leaf name, transpose back?)
-    "attn.w_qkv": ("attn.in_proj_weight", True),
-    "attn.b_qkv": ("attn.in_proj_bias", False),
-    "attn.w_out": ("attn.out_proj.weight", True),
-    "attn.b_out": ("attn.out_proj.bias", False),
-    "ln_1.scale": ("ln_1.weight", False),
-    "ln_1.bias": ("ln_1.bias", False),
-    "ln_2.scale": ("ln_2.weight", False),
-    "ln_2.bias": ("ln_2.bias", False),
-    "mlp.w_fc": ("mlp.c_fc.weight", True),
-    "mlp.b_fc": ("mlp.c_fc.bias", False),
-    "mlp.w_proj": ("mlp.c_proj.weight", True),
-    "mlp.b_proj": ("mlp.c_proj.bias", False),
-}
-
-_SIMPLE_EXPORT = {
-    # exact inverse of the ``simple`` table in convert_maple
-    "clip.visual.ln_pre.scale": "image_encoder.ln_pre.weight",
-    "clip.visual.ln_pre.bias": "image_encoder.ln_pre.bias",
-    "clip.visual.ln_post.scale": "image_encoder.ln_post.weight",
-    "clip.visual.ln_post.bias": "image_encoder.ln_post.bias",
-    "clip.visual.class_embedding": "image_encoder.class_embedding",
-    "clip.visual.positional_embedding":
-        "image_encoder.positional_embedding",
-    "clip.visual.proj": "image_encoder.proj",
-    "clip.text.ln_final.scale": "text_encoder.ln_final.weight",
-    "clip.text.ln_final.bias": "text_encoder.ln_final.bias",
-    "clip.text.positional_embedding": "text_encoder.positional_embedding",
-    "clip.text.text_projection": "text_encoder.text_projection",
-}
 
 
 def export_maple(flat, skipped=None) -> dict:
@@ -209,15 +186,15 @@ def export_maple(flat, skipped=None) -> dict:
                 raise KeyError(f"no reference mapping for {k!r}")
         elif m := re.match(r"clip\.(visual|text)\.blocks\.(\d+)\.(.+)", k):
             tower, i, leaf = m.groups()
-            if leaf not in _BLOCK_EXPORT:
+            if leaf not in _BLOCK_LEAVES:
                 raise KeyError(f"no reference mapping for {k!r}")
-            name, transpose = _BLOCK_EXPORT[leaf]
+            name, transpose = _BLOCK_LEAVES[leaf]
             enc = "image_encoder" if tower == "visual" else "text_encoder"
             out[f"{enc}.transformer.resblocks.{i}.{name}"] = (
                 v.T if transpose else v
             )
-        elif k in _SIMPLE_EXPORT:
-            out[_SIMPLE_EXPORT[k]] = v
+        elif k in _SIMPLE_LEAVES:
+            out[_SIMPLE_LEAVES[k]] = v
         elif k == "clip.visual.conv1.w":
             # (P*P*3, O) matmul kernel back to torch conv (O, 3, P, P)
             o = v.shape[1]
