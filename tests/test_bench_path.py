@@ -120,6 +120,10 @@ def test_bench_cli_data_parallel_smoke():
     assert rec["eval_images_per_sec"] > 0
     assert rec["fed_step_images_per_sec"] > 0
     assert "fed_step_error" not in rec and "eval_error" not in rec
+    # efficiency fields (round-4 verdict #7) ride the same line
+    assert rec["train_step_ms"] > 0
+    assert rec["step_tflops"] > 0
+    assert 0 < rec["mfu"] < 1.5  # CPU run: value meaningless, field pinned
 
 
 def test_bench_secondary_budget_degrades_gracefully():
@@ -149,6 +153,9 @@ def test_bench_secondary_budget_degrades_gracefully():
     assert "budget exhausted" in rec["fed_step_error"]
     assert "budget exhausted" in rec["eval_error"]
     assert "eval_images_per_sec" not in rec
+    # efficiency fields are measured in the primary phase, so they must
+    # survive a secondary-budget exhaustion
+    assert rec["train_step_ms"] > 0
 
 
 def test_bench_cli_modes_smoke(tmp_path):

@@ -211,6 +211,40 @@ CHILD_DP = textwrap.dedent(
 )
 
 
+CHILD_KNOB = textwrap.dedent(
+    """
+    import os
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from federated_multi_modal_tpu.parallel import multihost
+    ok = multihost.initialize_multihost()
+    assert ok, "expected an active multi-process runtime"
+
+    pid = jax.process_index()
+    # PARTIAL enable: only process 0 sets the scalar-verify knob.  It
+    # gates a collective in _dp_shard, so setup must detect the skew and
+    # raise on EVERY process instead of deadlocking per-leaf later
+    # (round-4 advisor).
+    os.environ["FMM_TPU_MULTIHOST_VERIFY_SCALARS"] = "1" if pid == 0 else "0"
+
+    from federated_multi_modal_tpu.config import get_cfg_default
+    from federated_multi_modal_tpu.engine.trainer import (
+        FunctionalTrainerMixin,
+    )
+
+    t = FunctionalTrainerMixin.__new__(FunctionalTrainerMixin)
+    cfg = get_cfg_default()
+    cfg.TPU.DATA_PARALLEL_MULTIHOST = True
+    try:
+        t._setup_data_parallel(cfg)
+        raise SystemExit("partial verify-scalars enable did not raise")
+    except ValueError as e:
+        assert "identical on every process" in str(e), e
+    print(f"KNOB_OK {pid}", flush=True)
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -299,6 +333,16 @@ def test_two_process_data_parallel_step(tmp_path):
     joined = _run_two_processes(CHILD_DP, tmp_path)
     assert "DP_OK 0" in joined
     assert "DP_OK 1" in joined
+
+
+def test_two_process_verify_scalars_knob_mismatch_raises(tmp_path):
+    """FMM_TPU_MULTIHOST_VERIFY_SCALARS set on one process only: setup
+    all-gathers the knob's own value and fails fast on both processes —
+    a partial enable must never reach the per-leaf collective it gates
+    (that would deadlock)."""
+    joined = _run_two_processes(CHILD_KNOB, tmp_path)
+    assert "KNOB_OK 0" in joined
+    assert "KNOB_OK 1" in joined
 
 
 def test_explicit_coordinator_after_backend_init_raises():
