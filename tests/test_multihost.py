@@ -211,6 +211,30 @@ CHILD_DP = textwrap.dedent(
 )
 
 
+CHILD_FED_GUARD = textwrap.dedent(
+    """
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from federated_multi_modal_tpu.parallel import multihost
+    ok = multihost.initialize_multihost()
+    assert ok, "expected an active multi-process runtime"
+    assert jax.process_count() == 2
+
+    from federated_multi_modal_tpu.config import get_cfg_default
+    from federated_multi_modal_tpu.trainers.maple_fed import MaPLeFederated
+
+    fed = MaPLeFederated.__new__(MaPLeFederated)
+    fed.cfg = get_cfg_default()
+    try:
+        fed.train()
+        raise SystemExit("multi-process federated train did not raise")
+    except RuntimeError as e:
+        assert "single-process by design" in str(e), e
+    print(f"GUARD_OK {jax.process_index()}", flush=True)
+    """
+)
+
+
 CHILD_KNOB = textwrap.dedent(
     """
     import os
@@ -333,6 +357,15 @@ def test_two_process_data_parallel_step(tmp_path):
     joined = _run_two_processes(CHILD_DP, tmp_path)
     assert "DP_OK 0" in joined
     assert "DP_OK 1" in joined
+
+
+def test_two_process_federated_train_guard(tmp_path):
+    """MaPLeFederated.train() under a REAL 2-process runtime refuses with
+    the documented single-process error on every process (round-4 verdict
+    Missing #3) instead of dying in an opaque XLA error mid-round."""
+    joined = _run_two_processes(CHILD_FED_GUARD, tmp_path)
+    assert "GUARD_OK 0" in joined
+    assert "GUARD_OK 1" in joined
 
 
 def test_two_process_verify_scalars_knob_mismatch_raises(tmp_path):
