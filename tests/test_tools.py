@@ -190,3 +190,30 @@ def test_clip_api_load_surface(tmp_path):
     arch2, p2 = clip_api.load("ViT-B/16", download_root=str(tmp_path))
     assert arch2.vision_patch_size == 16
     assert p2["text"]["token_embedding"].shape[0] == 49408
+
+
+@pytest.mark.slow
+def test_run_parity_smoke(tmp_path):
+    """The one-command HM-parity runbook (round-4 verdict task 4) in its
+    skip-tolerant smoke mode: fallback vocabulary + random weights drive
+    the WHOLE stage graph (tokenizer -> weights -> zero-shot eval ->
+    base2new scripts -> HM parse) so the orchestration is proven today and
+    the environment-blocked pillar becomes one command the day the real
+    weights + BPE table appear."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_parity.py"),
+         "--smoke", "--root", str(tmp_path / "data"),
+         "--output-dir", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=1500,
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "PARITY RUNBOOK: ok" in out.stdout
+    # the environment-blocked stages SKIP (never fake a parity claim)
+    assert "[SKIP] tokenizer" in out.stdout
+    assert "[SKIP] weights" in out.stdout
+    # the runnable stages actually ran
+    assert "[PASS] zeroshot:synthetic" in out.stdout
+    assert "[PASS] base2new:synthetic" in out.stdout
+    assert "[PASS] hm-parse:synthetic" in out.stdout
