@@ -178,13 +178,18 @@ def encode_image(
     # experimental FMM_TPU_FUSED_TRAIN gate is on (the fused backward
     # currently loses at its GB=1 VMEM fit — docs/BENCH.md).
     from federated_multi_modal_tpu.ops.primitives import (
+        fused_train_block_enabled,
         fused_train_enabled,
         get_vision_attn_wgrad_blocks,
     )
 
     if inference:
         wgrad = frozenset()
-    elif fused_train_enabled():
+    elif fused_train_enabled() or fused_train_block_enabled():
+        # FMM_TPU_FUSED_TRAIN routes frozen-W blocks through the sublayer
+        # fused LN+QKV+attention kernel; FMM_TPU_FUSED_TRAIN_BLOCK through
+        # the whole-block train kernel (fwd + custom VJP).  Either gate
+        # needs the trainer's wgrad declaration resolved here.
         wgrad = get_vision_attn_wgrad_blocks(len(params["blocks"]))
     else:
         wgrad = None

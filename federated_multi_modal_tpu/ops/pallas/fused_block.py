@@ -791,6 +791,525 @@ def _fused_block_group_jit(x, blocks, prompts, extra, *, n_head: int,
     return out[:, :T] if Tp != T else out
 
 
+# --------------------------------------------------------------------------
+# whole-block fused TRAIN kernel (round 5): the training sibling of
+# ``fused_block_residual`` — forward + custom VJP for the FULL pre-LN block
+# with on-the-fly LN moments and VMEM-resident weights (the round-3
+# ``CompilerParams(vmem_limit_bytes)`` unlock applied to training).
+#
+# Contract: EVERY non-LN weight of the block must be frozen — the VJP is
+# exact for x and both LayerNorms' scale/bias and returns **zeros for all
+# attention AND MLP weight/bias cotangents**.  That is precisely the
+# reference unfreeze policy for vision blocks 0..L-2: MaPLe trains the
+# prompt learner, every LayerNorm, and the whole LAST block only
+# (``reference/trainers/maple.py:447-479``); the other trainers train no
+# tower weights at all.  The trainable last block stays on the autodiff
+# (packed-kernel) path via ``set_vision_attn_wgrad_blocks``.
+#
+# Residual strategies (``FMM_TPU_FUSED_TRAIN_MODE``):
+#   * "save" (default): the forward additionally writes the post-cast QKV
+#     tensor and the pre-activation MLP hidden — the SAME residuals the
+#     unfused path saves (packed-kernel VJP keeps qkv; QuickGELU backward
+#     keeps h) — so the backward has FLOPs parity with the unfused path
+#     (one softmax recompute, exactly like the packed kernel's VJP) while
+#     every LayerNorm forward/backward pass and elementwise round-trip is
+#     fused into the kernels.  The attention-half output y is recomputed
+#     from qkv (one out-proj dot) instead of stored.
+#   * "save-y": "save" plus the attention-half output y stored from the
+#     forward (+1 (B, T, D) residual per block; removes the in-backward
+#     y recompute).
+#   * "recompute": x is the ONLY residual; the backward recomputes
+#     LN1/QKV/attention/y/LN2/h entirely in VMEM (bandwidth-minimal,
+#     +~65% backward matmul FLOPs — the measurement settles it).
+# --------------------------------------------------------------------------
+
+_TRAIN_MODES = ("save", "save-y", "recompute")
+
+
+def fused_block_train_enabled() -> bool:
+    """Experimental gate for the whole-block fused TRAIN kernel
+    (``FMM_TPU_FUSED_TRAIN_BLOCK``).  Off by default until the hardware
+    A/B lands (docs/BENCH.md)."""
+    return os.environ.get("FMM_TPU_FUSED_TRAIN_BLOCK", "0").lower() in (
+        "1", "on", "true",
+    )
+
+
+def fused_block_train_eligible(B, T, D, n_head, hidden, attn_mask) -> bool:
+    """Whole-block TRAIN fusion: the gate plus both halves' shape rules."""
+    if not fused_block_train_enabled():
+        return False
+    return (
+        fused_ln_attention_eligible(B, T, D, n_head, attn_mask)
+        and fused_ln_mlp_eligible(B, T, D, hidden)
+    )
+
+
+def _train_operands(x, p):
+    """Weight operand list + specs shared by the train fwd/bwd kernels."""
+    D = x.shape[-1]
+    H = p["mlp"]["w_fc"].shape[-1]
+    g1, b1, w2, bq2 = _prep(x, p["ln_1"], p["attn"]["w_qkv"],
+                            p["attn"]["b_qkv"])
+    operands = [
+        w2, bq2, g1, b1,
+        p["attn"]["w_out"].astype(x.dtype),
+        p["attn"]["b_out"].reshape(1, D).astype(x.dtype),
+        p["ln_2"]["scale"].reshape(1, D).astype(jnp.float32),
+        p["ln_2"]["bias"].reshape(1, D).astype(jnp.float32),
+        p["mlp"]["w_fc"].astype(x.dtype),
+        p["mlp"]["b_fc"].reshape(1, H).astype(x.dtype),
+        p["mlp"]["w_proj"].astype(x.dtype),
+        p["mlp"]["b_proj"].reshape(1, D).astype(x.dtype),
+    ]
+    row = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    specs = [
+        row((D, 3 * D)), row((1, 3 * D)), row((1, D)), row((1, D)),
+        row((D, D)), row((1, D)), row((1, D)), row((1, D)),
+        row((D, H)), row((1, H)), row((H, D)), row((1, D)),
+    ]
+    return operands, specs
+
+
+def _train_fwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save_y):
+    (x_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref, g2_ref, b2_ref,
+     wfc_ref, bfc_ref, wpr_ref, bpr_ref) = refs[:13]
+    o_ref, qkv_ref, h_ref = refs[13:16]
+    y_ref = refs[16] if save_y else None
+    D = x_ref.shape[-1]
+    H = wfc_ref.shape[-1]
+    hd = D // n_head
+    hc = H // n_chunks
+    dtype = x_ref.dtype
+    # ---- attention half ----
+    x32 = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+    xn = (xn * g1_ref[...] + b1_ref[...]).astype(dtype)
+    qkv = jax.lax.dot_general(
+        xn, w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(dtype)
+    qkv_ref[...] = qkv
+    outs = []
+    for i in range(n_head):
+        lo = i * hd
+        q = qkv[:, :, lo:lo + hd]
+        k = qkv[:, :, D + lo:D + lo + hd]
+        v = qkv[:, :, 2 * D + lo:2 * D + lo + hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_T is not None:
+            s = _key_mask(s, valid_T)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+        )
+    a = jnp.concatenate(outs, axis=-1)
+    y = x32 + bo_ref[...].astype(jnp.float32) + jax.lax.dot_general(
+        a, wo_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if save_y:
+        y_ref[...] = y.astype(y_ref.dtype)
+    # ---- MLP half ----
+    mu2 = jnp.mean(y, -1, keepdims=True)
+    var2 = jnp.mean(jnp.square(y - mu2), -1, keepdims=True)
+    xn2 = (y - mu2) * jax.lax.rsqrt(var2 + 1e-5)
+    xn2 = (xn2 * g2_ref[...] + b2_ref[...]).astype(dtype)
+    acc = y + bpr_ref[...].astype(jnp.float32)
+    for c in range(n_chunks):
+        lo = c * hc
+        h32 = jax.lax.dot_general(
+            xn2, wfc_ref[:, lo:lo + hc], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bfc_ref[:, lo:lo + hc].astype(jnp.float32)
+        h_ref[:, :, lo:lo + hc] = h32.astype(h_ref.dtype)
+        g = (h32 * jax.nn.sigmoid(1.702 * h32)).astype(dtype)  # QuickGELU
+        acc = acc + jax.lax.dot_general(
+            g, wpr_ref[lo:lo + hc, :], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
+    (x_ref, dy_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref,
+     g2_ref, b2_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref) = refs[:14]
+    idx = 14
+    qkv_ref = h_ref = y_ref = None
+    if save:
+        qkv_ref, h_ref = refs[idx:idx + 2]
+        idx += 2
+    if save_y:
+        y_ref = refs[idx]
+        idx += 1
+    dx_ref, dg1_ref, db1_ref, dg2_ref, db2_ref = refs[idx:idx + 5]
+
+    D = x_ref.shape[-1]
+    H = wfc_ref.shape[-1]
+    hd = D // n_head
+    hc = H // n_chunks
+    dtype = x_ref.dtype
+    w = w_ref[...]
+    g1 = g1_ref[...]
+    g2 = g2_ref[...]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg1_ref[...] = jnp.zeros_like(dg1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dg2_ref[...] = jnp.zeros_like(dg2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    # ---- recompute LN1 stats (x is in VMEM for dx anyway: no extra HBM
+    # pass — this is the on-the-fly-moments part of the design) ----
+    x32 = x_ref[...].astype(jnp.float32)
+    mu1 = jnp.mean(x32, -1, keepdims=True)
+    var1 = jnp.mean(jnp.square(x32 - mu1), -1, keepdims=True)
+    rstd1 = jax.lax.rsqrt(var1 + 1e-5)
+    xhat1 = (x32 - mu1) * rstd1
+
+    if save:
+        qkv = qkv_ref[...]
+    else:
+        xn1 = (xhat1 * g1 + b1_ref[...]).astype(dtype)
+        qkv = jax.lax.dot_general(
+            xn1, w, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(dtype)
+
+    if save_y:
+        y32 = y_ref[...].astype(jnp.float32)
+    else:
+        # one out-proj dot + the per-head attention forward from qkv
+        outs = []
+        for i in range(n_head):
+            lo = i * hd
+            q = qkv[:, :, lo:lo + hd]
+            k = qkv[:, :, D + lo:D + lo + hd]
+            v = qkv[:, :, 2 * D + lo:2 * D + lo + hd]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if valid_T is not None:
+                s = _key_mask(s, valid_T)
+            p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    p, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
+            )
+        a = jnp.concatenate(outs, axis=-1)
+        y32 = x32 + bo_ref[...].astype(jnp.float32) + jax.lax.dot_general(
+            a, wo_ref[...], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    mu2 = jnp.mean(y32, -1, keepdims=True)
+    var2 = jnp.mean(jnp.square(y32 - mu2), -1, keepdims=True)
+    rstd2 = jax.lax.rsqrt(var2 + 1e-5)
+    xhat2 = (y32 - mu2) * rstd2
+
+    dout = dy_ref[...].astype(jnp.float32)
+    dout_c = dout.astype(dtype)
+
+    # ---- MLP backward (frozen weights: only dxn2 is needed) ----
+    if not save:
+        xn2 = (xhat2 * g2 + b2_ref[...]).astype(dtype)
+    dxn2 = jnp.zeros(x32.shape, jnp.float32)
+    for c in range(n_chunks):
+        lo = c * hc
+        if save:
+            h32 = h_ref[:, :, lo:lo + hc].astype(jnp.float32)
+        else:
+            h32 = jax.lax.dot_general(
+                xn2, wfc_ref[:, lo:lo + hc], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bfc_ref[:, lo:lo + hc].astype(jnp.float32)
+        sig = jax.nn.sigmoid(1.702 * h32)
+        dgelu = sig * (1.0 + 1.702 * h32 * (1.0 - sig))  # QuickGELU'
+        dg_c = jax.lax.dot_general(
+            dout_c, wpr_ref[lo:lo + hc, :], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh_c = (dg_c * dgelu).astype(dtype)
+        dxn2 = dxn2 + jax.lax.dot_general(
+            dh_c, wfc_ref[:, lo:lo + hc], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dg2_ref[...] += jnp.sum(dxn2 * xhat2, axis=(0, 1))[None]
+    db2_ref[...] += jnp.sum(dxn2, axis=(0, 1))[None]
+    dgv2 = dxn2 * g2
+    m1 = jnp.mean(dgv2, -1, keepdims=True)
+    m2 = jnp.mean(dgv2 * xhat2, -1, keepdims=True)
+    # total grad wrt y: residual branch + LN2 backward
+    dyh = dout + rstd2 * (dgv2 - m1 - xhat2 * m2)
+
+    # ---- attention backward (per head; d(QKV) folded through W^T row
+    # slices so the (GB, Tp, 3D) gradient tensor is never materialized) ----
+    da = jax.lax.dot_general(
+        dyh.astype(dtype), wo_ref[...], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    dyln1 = jnp.zeros(x32.shape, jnp.float32)
+    for i in range(n_head):
+        lo = i * hd
+        q = qkv[:, :, lo:lo + hd]
+        k = qkv[:, :, D + lo:D + lo + hd]
+        v = qkv[:, :, 2 * D + lo:2 * D + lo + hd]
+        da_h = da[:, :, lo:lo + hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_T is not None:
+            s = _key_mask(s, valid_T)
+        p32 = jax.nn.softmax(s, axis=-1)
+        p = p32.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            p, da_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            da_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p32 * (dp - jnp.sum(dp * p32, -1, keepdims=True))
+              * scale).astype(dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_h = jnp.concatenate(
+            [dq.astype(dtype), dk.astype(dtype), dv.astype(dtype)], axis=-1,
+        )  # (GB, Tp, 3*hd)
+        w_h = jnp.concatenate(
+            [w[:, lo:lo + hd], w[:, D + lo:D + lo + hd],
+             w[:, 2 * D + lo:2 * D + lo + hd]], axis=-1,
+        )  # (D, 3*hd)
+        dyln1 = dyln1 + jax.lax.dot_general(
+            dqkv_h, w_h, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dg1_ref[...] += jnp.sum(dyln1 * xhat1, axis=(0, 1))[None]
+    db1_ref[...] += jnp.sum(dyln1, axis=(0, 1))[None]
+    dgv1 = dyln1 * g1
+    n1 = jnp.mean(dgv1, -1, keepdims=True)
+    n2 = jnp.mean(dgv1 * xhat1, -1, keepdims=True)
+    dx_ref[...] = (dyh + rstd1 * (dgv1 - n1 - xhat1 * n2)).astype(
+        dx_ref.dtype)
+
+
+def _resolve_gb(B: int, knob: int) -> int:
+    return max(g for g in range(1, min(knob, B) + 1) if B % g == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "gb", "vmem_bytes",
+                                             "save_y", "interpret"))
+def _fbt_fwd_save(x, p, *, n_head: int, gb: int, vmem_bytes: int,
+                  save_y: bool, interpret):
+    """Forward with residual outputs: returns (out, qkv, h[, y]) — the
+    residual tensors stay T-padded so the backward consumes them as-is."""
+    B, T, D = x.shape
+    H = p["mlp"]["w_fc"].shape[-1]
+    hd = D // n_head
+    Tp = _round_up(T, 8)
+    GB = _resolve_gb(B, gb)
+    n_chunks = 2 if jnp.dtype(x.dtype).itemsize <= 2 else 4
+    operands, specs = _train_operands(x, p)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    blk = pl.BlockSpec((GB, Tp, D), lambda i: (i, 0, 0))
+    blk3 = pl.BlockSpec((GB, Tp, 3 * D), lambda i: (i, 0, 0))
+    blkh = pl.BlockSpec((GB, Tp, H), lambda i: (i, 0, 0))
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
+        jax.ShapeDtypeStruct((B, Tp, 3 * D), x.dtype),
+        jax.ShapeDtypeStruct((B, Tp, H), x.dtype),
+    ]
+    out_specs = [blk, blk3, blkh]
+    if save_y:
+        out_shapes.append(jax.ShapeDtypeStruct((B, Tp, D), x.dtype))
+        out_specs.append(blk)
+    compiler_params = None
+    if not _auto_interpret(interpret):
+        from jax.experimental.pallas import tpu as pltpu
+
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
+    res = pl.pallas_call(
+        functools.partial(
+            _train_fwd_kernel, n_head=n_head,
+            scale=1.0 / float(np.sqrt(hd)),
+            valid_T=None if Tp == T else T, n_chunks=n_chunks,
+            save_y=save_y,
+        ),
+        out_shape=tuple(out_shapes),
+        grid=(B // GB,),
+        in_specs=[blk] + specs,
+        out_specs=tuple(out_specs),
+        interpret=_auto_interpret(interpret),
+        compiler_params=compiler_params,
+    )(x, *operands)
+    out = res[0][:, :T] if Tp != T else res[0]
+    return out, tuple(res[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "gb", "vmem_bytes",
+                                             "save", "save_y", "interpret"))
+def _fbt_bwd(x, dy, p, residuals, *, n_head: int, gb: int, vmem_bytes: int,
+             save: bool, save_y: bool, interpret):
+    """(dx, dg1, db1, dg2, db2) for the whole-block train kernel."""
+    B, T, D = x.shape
+    H = p["mlp"]["w_fc"].shape[-1]
+    hd = D // n_head
+    Tp = _round_up(T, 8)
+    GB = _resolve_gb(B, gb)
+    n_chunks = 2 if jnp.dtype(x.dtype).itemsize <= 2 else 4
+    operands, specs = _train_operands(x, p)
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0))
+        x = jnp.pad(x, pad)
+        dy = jnp.pad(dy, pad)
+    blk = pl.BlockSpec((GB, Tp, D), lambda i: (i, 0, 0))
+    in_specs = [blk, blk] + specs
+    extra = []
+    if save:
+        extra += [residuals[0], residuals[1]]
+        in_specs += [
+            pl.BlockSpec((GB, Tp, 3 * D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GB, Tp, H), lambda i: (i, 0, 0)),
+        ]
+    if save_y:
+        extra.append(residuals[2])
+        in_specs.append(blk)
+    acc = pl.BlockSpec((1, D), lambda i: (0, 0))
+    compiler_params = None
+    if not _auto_interpret(interpret):
+        from jax.experimental.pallas import tpu as pltpu
+
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
+    dx, dg1, db1, dg2, db2 = pl.pallas_call(
+        functools.partial(
+            _train_bwd_kernel, n_head=n_head,
+            scale=1.0 / float(np.sqrt(hd)),
+            valid_T=None if Tp == T else T, n_chunks=n_chunks,
+            save=save, save_y=save_y,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ),
+        grid=(B // GB,),
+        in_specs=in_specs,
+        out_specs=(blk, acc, acc, acc, acc),
+        interpret=_auto_interpret(interpret),
+        compiler_params=compiler_params,
+    )(x, dy, *operands, *extra)
+    if Tp != T:
+        dx = dx[:, :T]
+    return dx, dg1[0], db1[0], dg2[0], db2[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _fused_block_train(x, p, n_head: int, mode: str, gb_f: int, gb_b: int,
+                       vmem: int):
+    if mode == "recompute":
+        return _fused_block_group_jit(
+            x, (p,), (), None, n_head=n_head, inject_flags=(False,),
+            interpret=None, gb_knob=gb_f, vmem_bytes=vmem,
+        )
+    out, _ = _fbt_fwd_save(
+        x, p, n_head=n_head, gb=gb_f, vmem_bytes=vmem,
+        save_y=(mode == "save-y"), interpret=None,
+    )
+    return out
+
+
+def _fbt_fwd_rule(x, p, n_head, mode, gb_f, gb_b, vmem):
+    if mode == "recompute":
+        out = _fused_block_group_jit(
+            x, (p,), (), None, n_head=n_head, inject_flags=(False,),
+            interpret=None, gb_knob=gb_f, vmem_bytes=vmem,
+        )
+        return out, (x, p, ())
+    out, res = _fbt_fwd_save(
+        x, p, n_head=n_head, gb=gb_f, vmem_bytes=vmem,
+        save_y=(mode == "save-y"), interpret=None,
+    )
+    return out, (x, p, res)
+
+
+def _fbt_bwd_rule(n_head, mode, gb_f, gb_b, vmem, residuals, dy):
+    x, p, res = residuals
+    dx, dg1, db1, dg2, db2 = _fbt_bwd(
+        x, dy, p, res, n_head=n_head, gb=gb_b, vmem_bytes=vmem,
+        save=(mode != "recompute"), save_y=(mode == "save-y"),
+        interpret=None,
+    )
+
+    def ln_grad(lnp, dg, db):
+        return {
+            "scale": dg.reshape(lnp["scale"].shape).astype(
+                lnp["scale"].dtype),
+            "bias": db.reshape(lnp["bias"].shape).astype(lnp["bias"].dtype),
+        }
+
+    dp = {
+        "ln_1": ln_grad(p["ln_1"], dg1, db1),
+        "ln_2": ln_grad(p["ln_2"], dg2, db2),
+        "attn": jax.tree.map(jnp.zeros_like, p["attn"]),
+        "mlp": jax.tree.map(jnp.zeros_like, p["mlp"]),
+    }
+    return dx, dp
+
+
+_fused_block_train.defvjp(_fbt_fwd_rule, _fbt_bwd_rule)
+
+
+def fused_block_train(x, p, n_head: int):
+    """Differentiable whole-block fused kernel for FULLY-frozen-weight
+    blocks (reference ``clip/model.py:167-198`` semantics; unfreeze policy
+    ``reference/trainers/maple.py:447-479``).
+
+    Cotangents: exact for ``x`` and both LayerNorms; **zeros for every
+    attention/MLP weight and bias** — callers must route only blocks whose
+    non-LN weights are all frozen (``set_vision_attn_wgrad_blocks``).
+
+    Env knobs (read here, passed as statics — changing one retraces):
+    ``FMM_TPU_FUSED_TRAIN_MODE`` (save | save-y | recompute),
+    ``FMM_TPU_FUSED_GB_TRN`` / ``FMM_TPU_FUSED_GB_TRNB`` (fwd/bwd rows per
+    grid step), ``FMM_TPU_FUSED_VMEM`` (Mosaic VMEM limit — the round-3
+    unlock that admits useful group sizes)."""
+    mode = os.environ.get("FMM_TPU_FUSED_TRAIN_MODE", "save").lower()
+    if mode not in _TRAIN_MODES:
+        raise ValueError(
+            f"FMM_TPU_FUSED_TRAIN_MODE={mode!r}: expected one of "
+            f"{_TRAIN_MODES}"
+        )
+    gb_f = max(1, int(os.environ.get("FMM_TPU_FUSED_GB_TRN", "2")))
+    gb_b = max(1, int(os.environ.get("FMM_TPU_FUSED_GB_TRNB", "4")))
+    vmem = int(os.environ.get("FMM_TPU_FUSED_VMEM", 100 << 20))
+    return _fused_block_train(x, p, n_head, mode, gb_f, gb_b, vmem)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_ln_attention(x, lnp, w, b, n_head: int):
     """Differentiable fused LN1+QKV+attention for FROZEN-W blocks.

@@ -106,6 +106,22 @@ def fused_train_enabled() -> bool:
     )
 
 
+def fused_train_block_enabled() -> bool:
+    """Gate for the WHOLE-BLOCK fused train kernel (forward + custom VJP
+    with on-the-fly LN moments and VMEM-resident weights,
+    ``ops/pallas/fused_block.py::fused_block_train``).  Requires the
+    routed blocks to have ALL non-LN weights frozen — true for every
+    block the trainers declare via ``set_vision_attn_wgrad_blocks``: the
+    reference unfreeze policy trains whole blocks or nothing
+    (``reference/trainers/maple.py:447-479``), so "attention weights
+    frozen" and "MLP weights frozen" coincide per block."""
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_train_enabled,
+    )
+
+    return fused_block_train_enabled()
+
+
 def multi_head_attention(
     x: jax.Array,
     p,
@@ -230,6 +246,21 @@ def residual_block(
                     return fused_ln_mlp_residual(x, p["ln_2"], p["mlp"])
                 x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
                 return x
+            from federated_multi_modal_tpu.ops.pallas.fused_block import (
+                fused_block_train,
+                fused_block_train_eligible,
+            )
+
+            hidden_t = p["mlp"]["w_fc"].shape[-1]
+            if fused_block_train_eligible(B, T, D, n_head, hidden_t,
+                                          attn_mask):
+                # whole-block TRAIN kernel: one kernel forward, one kernel
+                # backward for the full pre-LN block.  Contract: every
+                # non-LN weight of this block is frozen (the VJP returns
+                # zero attention AND MLP weight cotangents) — guaranteed
+                # by the trainers' wgrad declaration, which freezes whole
+                # blocks (reference trainers/maple.py:447-479).
+                return fused_block_train(x, p, n_head)
             a = fused_ln_attention(
                 x, p["ln_1"], p["attn"]["w_qkv"], p["attn"]["b_qkv"], n_head
             )

@@ -926,3 +926,172 @@ def test_fused_block_gb_env_guard(rng, monkeypatch):
         got = fused_block_residual(x, p, H)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6, rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# whole-block fused TRAIN kernel (round 5)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["save", "save-y", "recompute"])
+@pytest.mark.parametrize("T", [16, 13])  # aligned + padded token counts
+def test_fused_block_train_matches_autodiff(rng, T, mode, monkeypatch):
+    """fused_block_train's value and VJP (dx + both LN grads) match
+    autodiff through the unfused block in fp32, in every residual mode;
+    all attention/MLP weight cotangents are exactly zero (the frozen-W
+    contract)."""
+    import jax
+
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+
+    monkeypatch.setenv("FMM_TPU_FUSED_TRAIN_MODE", mode)
+    B, D, H = 4, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    p = _rand_block(rng, D)
+    co = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    out_f = fused_block_train(x, p, H)
+    out_r = P.residual_block(x, p, H, None)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_r), atol=2e-5, rtol=2e-5)
+
+    gx_f, gp_f = jax.grad(
+        lambda x_, p_: jnp.sum(fused_block_train(x_, p_, H) * co),
+        argnums=(0, 1),
+    )(x, p)
+    gx_r, gp_r = jax.grad(
+        lambda x_, p_: jnp.sum(P.residual_block(x_, p_, H, None) * co),
+        argnums=(0, 1),
+    )(x, p)
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_r), atol=5e-5, rtol=5e-5)
+    for ln in ("ln_1", "ln_2"):
+        for leaf in ("scale", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(gp_f[ln][leaf]), np.asarray(gp_r[ln][leaf]),
+                atol=5e-4, rtol=5e-4, err_msg=f"{ln}.{leaf}")
+    # frozen-W contract: every attention/MLP cotangent is exactly zero
+    for grp in ("attn", "mlp"):
+        for leaf in jax.tree.leaves(gp_f[grp]):
+            assert not np.any(np.asarray(leaf)), grp
+
+
+def test_fused_block_train_bf16_close(rng, monkeypatch):
+    """bf16 storage: fused grads stay within bf16 re-rounding distance of
+    the fp32 unfused reference."""
+    import jax
+
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+
+    monkeypatch.setenv("FMM_TPU_FUSED_TRAIN_MODE", "save")
+    B, T, D, H = 4, 16, 128, 2
+    x32 = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    p = _rand_block(rng, D)
+    co = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    gx_f = jax.grad(
+        lambda x_: jnp.sum(
+            fused_block_train(x_.astype(jnp.bfloat16), p, H).astype(
+                jnp.float32) * co)
+    )(x32)
+    gx_r = jax.grad(
+        lambda x_: jnp.sum(
+            P.residual_block(
+                x_.astype(jnp.bfloat16), p, H, None).astype(jnp.float32)
+            * co)
+    )(x32)
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_r), atol=3e-2, rtol=3e-2)
+
+
+def test_fused_block_train_mode_env_guard(rng, monkeypatch):
+    """An unknown FMM_TPU_FUSED_TRAIN_MODE raises loudly instead of
+    silently falling back."""
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+
+    monkeypatch.setenv("FMM_TPU_FUSED_TRAIN_MODE", "bogus")
+    x = jnp.zeros((2, 16, 128), jnp.float32)
+    with pytest.raises(ValueError, match="bogus"):
+        fused_block_train(x, _rand_block(rng, 128), 2)
+
+
+def test_maple_grads_fused_block_train_end_to_end(rng, monkeypatch):
+    """Full MaPLe loss + trainable-pytree grads are unchanged when frozen
+    vision blocks route through the whole-block TRAIN kernel
+    (FMM_TPU_FUSED_TRAIN_BLOCK=1), and the kernel really is on the path."""
+    import jax
+
+    from federated_multi_modal_tpu.flagship import (
+        build_maple_program,
+        example_batch,
+    )
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas import fused_block as FB
+
+    def to_fp32(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.inexact) else x,
+            tree,
+        )
+
+    def build():
+        prog = build_maple_program(
+            backbone="Tiny", classnames=["cat", "dog", "bird"],
+            n_ctx=2, depth=2, use_captions=True, seed=0,
+        )
+        prog["trainable"] = to_fp32(prog["trainable"])
+        prog["frozen"] = to_fp32(prog["frozen"])
+        return prog
+
+    batch = None
+
+    def grads_for(impl, policy, gate):
+        nonlocal batch
+        if gate:
+            monkeypatch.setenv("FMM_TPU_FUSED_TRAIN_BLOCK", "1")
+        else:
+            monkeypatch.delenv("FMM_TPU_FUSED_TRAIN_BLOCK", raising=False)
+        P.set_attention_impl(impl)
+        P.set_vision_attn_wgrad_blocks(policy)
+        try:
+            prog = build()
+            if batch is None:
+                batch = example_batch(prog["arch"], batch_size=4, n_cls=3)
+                batch["image"] = batch["image"].astype(jnp.float32)
+            loss, _ = prog["loss_fn"](prog["trainable"], prog["frozen"], batch)
+            g = jax.grad(
+                lambda t: prog["loss_fn"](t, prog["frozen"], batch)[0]
+            )(prog["trainable"])
+            return float(loss), g
+        finally:
+            P.set_attention_impl("xla")
+            P.set_vision_attn_wgrad_blocks(None)
+
+    calls = {"n": 0}
+    real = FB.fused_block_train
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(FB, "fused_block_train", counting)
+
+    loss_ref, g_ref = grads_for("xla", None, gate=False)
+    loss_fused, g_fused = grads_for("pallas", "last", gate=True)
+    # Tiny has 3 vision blocks; blocks 0..1 are frozen-W and eligible —
+    # loss + grad tracing calls the kernel at least twice
+    assert calls["n"] >= 2
+    assert abs(loss_ref - loss_fused) < 1e-5
+    for a, r in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=1e-4, rtol=1e-3
+        )
