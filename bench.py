@@ -913,6 +913,21 @@ def main():
     # federated step ride it as extra fields — measured in THIS process,
     # right after the train loop (same-session comparisons are the only
     # valid kind on the tunnel backend, CLAUDE.md).
+    #
+    # Release the train phase's device buffers AND its compiled executable
+    # first: the round-5 fused TRAIN kernel raises the train program's HBM
+    # watermark (its pallas residual outputs cannot be rematerialized by
+    # XLA), and each secondary phase builds a comparably-sized program in
+    # this same process — with the train state still alive the composition
+    # OOMed (RESOURCE_EXHAUSTED) while every phase fits standalone.
+    tr_w = os_w = opt_state = None
+    trainable = opt_state_l = None
+    canvas = labels = captions = frozen = prog = None
+    boxes = flips = None
+    runner = step = one_step = None
+    import gc
+
+    gc.collect()
     secondary_info = []
     if not args.no_secondary:
         # wall-clock budget (FMM_BENCH_SECONDARY_BUDGET seconds, SIGALRM),

@@ -117,11 +117,14 @@ def encode_image(
             re-injected alongside every deep prompt.
         inference: caller guarantees no cotangent ever flows into this
             tower (eval fast paths, frozen-tower feature extraction).
-            Every block then takes the fused LN+QKV+attention kernel
+            Every block then takes the whole-block fused inference kernel
             under the pallas impl — a pure forward win (docs/BENCH.md).
-            Training-time fusion of frozen-W blocks stays env-gated
-            (``FMM_TPU_FUSED_TRAIN``): its backward kernel currently
-            loses at the GB=1 VMEM fit.
+            In TRAINING, fully-frozen-weight blocks (the trainer's wgrad
+            declaration) route through the whole-block fused TRAIN kernel
+            by default (``FMM_TPU_FUSED_TRAIN_BLOCK``, +5.95% e2e measured
+            — docs/BENCH.md round 5); the older sublayer fused path
+            remains behind ``FMM_TPU_FUSED_TRAIN`` (measured loss, kept
+            for A/B).
 
     Returns:
         ``(B, embed_dim)`` image features (pre-normalization), fp32.
@@ -171,12 +174,12 @@ def encode_image(
                 "the trailing prompt rows one-for-one"
             )
     block = _block_fn(remat)
-    # fused LN+QKV+attention: in ``inference`` towers every block takes it
-    # (no grads exist at all); in training only the blocks whose attention
-    # weights the trainer declared frozen
-    # (ops.primitives.set_vision_attn_wgrad_blocks) and only when the
-    # experimental FMM_TPU_FUSED_TRAIN gate is on (the fused backward
-    # currently loses at its GB=1 VMEM fit — docs/BENCH.md).
+    # fused kernels: in ``inference`` towers every block fuses (no grads
+    # exist at all); in training only the blocks the trainer declared
+    # frozen-W (ops.primitives.set_vision_attn_wgrad_blocks) — those
+    # route through the whole-block fused TRAIN kernel by default
+    # (FMM_TPU_FUSED_TRAIN_BLOCK, docs/BENCH.md round 5) or the sublayer
+    # fused path when only FMM_TPU_FUSED_TRAIN is set.
     from federated_multi_modal_tpu.ops.primitives import (
         fused_train_block_enabled,
         fused_train_enabled,

@@ -806,8 +806,10 @@ def _fused_block_group_jit(x, blocks, prompts, extra, *, n_head: int,
 # tower weights at all.  The trainable last block stays on the autodiff
 # (packed-kernel) path via ``set_vision_attn_wgrad_blocks``.
 #
-# Residual strategies (``FMM_TPU_FUSED_TRAIN_MODE``):
-#   * "save" (default): the forward additionally writes the post-cast QKV
+# Residual strategies (``FMM_TPU_FUSED_TRAIN_MODE``), all three measured
+# same-session on v5e at bench shapes (docs/BENCH.md round 5):
+#   * "save" (default, SHIPPED: 1402.7 vs 1323.9 img/s baseline, +5.95%
+#     e2e at bwd GB=4): the forward additionally writes the post-cast QKV
 #     tensor and the pre-activation MLP hidden — the SAME residuals the
 #     unfused path saves (packed-kernel VJP keeps qkv; QuickGELU backward
 #     keeps h) — so the backward has FLOPs parity with the unfused path
@@ -816,21 +818,23 @@ def _fused_block_group_jit(x, blocks, prompts, extra, *, n_head: int,
 #     fused into the kernels.  The attention-half output y is recomputed
 #     from qkv (one out-proj dot) instead of stored.
 #   * "save-y": "save" plus the attention-half output y stored from the
-#     forward (+1 (B, T, D) residual per block; removes the in-backward
-#     y recompute).
+#     forward.  REJECTED: the extra (B, T, D) residual per block OOMs HBM
+#     at bench shapes (16.46G needed of 15.75G).
 #   * "recompute": x is the ONLY residual; the backward recomputes
-#     LN1/QKV/attention/y/LN2/h entirely in VMEM (bandwidth-minimal,
-#     +~65% backward matmul FLOPs — the measurement settles it).
+#     LN1/QKV/attention/y/LN2/h entirely in VMEM.  REJECTED: 1292.3 img/s
+#     (-2.4%) — the blocks are MXU-bound, so the +~65% backward matmul
+#     recompute costs more than the saved bandwidth.
 # --------------------------------------------------------------------------
 
 _TRAIN_MODES = ("save", "save-y", "recompute")
 
 
 def fused_block_train_enabled() -> bool:
-    """Experimental gate for the whole-block fused TRAIN kernel
-    (``FMM_TPU_FUSED_TRAIN_BLOCK``).  Off by default until the hardware
-    A/B lands (docs/BENCH.md)."""
-    return os.environ.get("FMM_TPU_FUSED_TRAIN_BLOCK", "0").lower() in (
+    """Gate for the whole-block fused TRAIN kernel
+    (``FMM_TPU_FUSED_TRAIN_BLOCK``).  ON by default: measured +5.95% e2e
+    on the MaPLe train step in "save" mode at bwd GB=4 (same-session A/B,
+    docs/BENCH.md round 5).  ``0`` is the escape hatch / A-B baseline."""
+    return os.environ.get("FMM_TPU_FUSED_TRAIN_BLOCK", "1").lower() in (
         "1", "on", "true",
     )
 
@@ -940,7 +944,8 @@ def _train_fwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save_y):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
+def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y,
+                      wgrad=False):
     (x_ref, dy_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref,
      g2_ref, b2_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref) = refs[:14]
     idx = 14
@@ -952,6 +957,9 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
         y_ref = refs[idx]
         idx += 1
     dx_ref, dg1_ref, db1_ref, dg2_ref, db2_ref = refs[idx:idx + 5]
+    if wgrad:
+        (dwq_ref, dbq_ref, dwo_ref, dbo_ref, dwfc_ref, dbfc_ref,
+         dwpr_ref, dbpr_ref) = refs[idx + 5:idx + 13]
 
     D = x_ref.shape[-1]
     H = wfc_ref.shape[-1]
@@ -968,6 +976,15 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
         db1_ref[...] = jnp.zeros_like(db1_ref)
         dg2_ref[...] = jnp.zeros_like(dg2_ref)
         db2_ref[...] = jnp.zeros_like(db2_ref)
+        if wgrad:
+            dwq_ref[...] = jnp.zeros_like(dwq_ref)
+            dbq_ref[...] = jnp.zeros_like(dbq_ref)
+            dwo_ref[...] = jnp.zeros_like(dwo_ref)
+            dbo_ref[...] = jnp.zeros_like(dbo_ref)
+            dwfc_ref[...] = jnp.zeros_like(dwfc_ref)
+            dbfc_ref[...] = jnp.zeros_like(dbfc_ref)
+            dwpr_ref[...] = jnp.zeros_like(dwpr_ref)
+            dbpr_ref[...] = jnp.zeros_like(dbpr_ref)
 
     # ---- recompute LN1 stats (x is in VMEM for dx anyway: no extra HBM
     # pass — this is the on-the-fly-moments part of the design) ----
@@ -977,8 +994,11 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
     rstd1 = jax.lax.rsqrt(var1 + 1e-5)
     xhat1 = (x32 - mu1) * rstd1
 
+    xn1 = None
     if save:
         qkv = qkv_ref[...]
+        if wgrad:  # dW_qkv needs the LN1 output; stats are already here
+            xn1 = (xhat1 * g1 + b1_ref[...]).astype(dtype)
     else:
         xn1 = (xhat1 * g1 + b1_ref[...]).astype(dtype)
         qkv = jax.lax.dot_general(
@@ -987,10 +1007,12 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
         )
         qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(dtype)
 
-    if save_y:
+    a = None
+    if save_y and not wgrad:
         y32 = y_ref[...].astype(jnp.float32)
     else:
         # one out-proj dot + the per-head attention forward from qkv
+        # (wgrad mode always recomputes: dW_out needs the concat output a)
         outs = []
         for i in range(n_head):
             lo = i * hd
@@ -1024,8 +1046,9 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
     dout = dy_ref[...].astype(jnp.float32)
     dout_c = dout.astype(dtype)
 
-    # ---- MLP backward (frozen weights: only dxn2 is needed) ----
-    if not save:
+    # ---- MLP backward (dxn2 always; dW_fc/dW_proj only in wgrad mode) ----
+    xn2 = None
+    if not save or wgrad:
         xn2 = (xhat2 * g2 + b2_ref[...]).astype(dtype)
     dxn2 = jnp.zeros(x32.shape, jnp.float32)
     for c in range(n_chunks):
@@ -1048,6 +1071,21 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
             dh_c, wfc_ref[:, lo:lo + hc], (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if wgrad:
+            # dW_fc[:, c] = xn2^T dh_c ; dW_proj[c, :] = gelu(h_c)^T dout
+            g_c = (h32 * sig).astype(dtype)
+            dwfc_ref[:, lo:lo + hc] += jax.lax.dot_general(
+                xn2, dh_c, (((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dbfc_ref[:, lo:lo + hc] += jnp.sum(
+                dh_c.astype(jnp.float32), axis=(0, 1))[None]
+            dwpr_ref[lo:lo + hc, :] += jax.lax.dot_general(
+                g_c, dout_c, (((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    if wgrad:
+        dbpr_ref[...] += jnp.sum(dout, axis=(0, 1))[None]
     dg2_ref[...] += jnp.sum(dxn2 * xhat2, axis=(0, 1))[None]
     db2_ref[...] += jnp.sum(dxn2, axis=(0, 1))[None]
     dgv2 = dxn2 * g2
@@ -1058,10 +1096,18 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
 
     # ---- attention backward (per head; d(QKV) folded through W^T row
     # slices so the (GB, Tp, 3D) gradient tensor is never materialized) ----
+    dyh_c = dyh.astype(dtype)
     da = jax.lax.dot_general(
-        dyh.astype(dtype), wo_ref[...], (((2,), (1,)), ((), ())),
+        dyh_c, wo_ref[...], (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype)
+    if wgrad:
+        # out-projection grads: dW_out = a^T dyh, db_out = sum(dyh)
+        dwo_ref[...] += jax.lax.dot_general(
+            a, dyh_c, (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbo_ref[...] += jnp.sum(dyh, axis=(0, 1))[None]
     dyln1 = jnp.zeros(x32.shape, jnp.float32)
     for i in range(n_head):
         lo = i * hd
@@ -1106,6 +1152,19 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y):
             dqkv_h, w_h, (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if wgrad:
+            # dW_qkv head slices: xn1^T [dq | dk | dv]; biases: row sums
+            dw_h = jax.lax.dot_general(
+                xn1, dqkv_h, (((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (D, 3*hd)
+            db_h = jnp.sum(dqkv_h.astype(jnp.float32), axis=(0, 1))[None]
+            dwq_ref[:, lo:lo + hd] += dw_h[:, :hd]
+            dwq_ref[:, D + lo:D + lo + hd] += dw_h[:, hd:2 * hd]
+            dwq_ref[:, 2 * D + lo:2 * D + lo + hd] += dw_h[:, 2 * hd:]
+            dbq_ref[:, lo:lo + hd] += db_h[:, :hd]
+            dbq_ref[:, D + lo:D + lo + hd] += db_h[:, hd:2 * hd]
+            dbq_ref[:, 2 * D + lo:2 * D + lo + hd] += db_h[:, 2 * hd:]
     dg1_ref[...] += jnp.sum(dyln1 * xhat1, axis=(0, 1))[None]
     db1_ref[...] += jnp.sum(dyln1, axis=(0, 1))[None]
     dgv1 = dyln1 * g1
@@ -1170,10 +1229,14 @@ def _fbt_fwd_save(x, p, *, n_head: int, gb: int, vmem_bytes: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "gb", "vmem_bytes",
-                                             "save", "save_y", "interpret"))
+                                             "save", "save_y", "wgrad",
+                                             "interpret"))
 def _fbt_bwd(x, dy, p, residuals, *, n_head: int, gb: int, vmem_bytes: int,
-             save: bool, save_y: bool, interpret):
-    """(dx, dg1, db1, dg2, db2) for the whole-block train kernel."""
+             save: bool, save_y: bool, interpret, wgrad: bool = False):
+    """(dx, dg1, db1, dg2, db2[, weight grads]) for the whole-block train
+    kernel.  ``wgrad=True`` (the TRAINABLE-block variant) additionally
+    accumulates every attention/MLP weight and bias gradient across grid
+    steps."""
     B, T, D = x.shape
     H = p["mlp"]["w_fc"].shape[-1]
     hd = D // n_head
@@ -1198,34 +1261,43 @@ def _fbt_bwd(x, dy, p, residuals, *, n_head: int, gb: int, vmem_bytes: int,
         extra.append(residuals[2])
         in_specs.append(blk)
     acc = pl.BlockSpec((1, D), lambda i: (0, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+    ]
+    out_specs = [blk, acc, acc, acc, acc]
+    if wgrad:
+        fix = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+        for shape in ((D, 3 * D), (1, 3 * D), (D, D), (1, D),
+                      (D, H), (1, H), (H, D), (1, D)):
+            out_shape.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+            out_specs.append(fix(shape))
     compiler_params = None
     if not _auto_interpret(interpret):
         from jax.experimental.pallas import tpu as pltpu
 
         compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
-    dx, dg1, db1, dg2, db2 = pl.pallas_call(
+    res = pl.pallas_call(
         functools.partial(
             _train_bwd_kernel, n_head=n_head,
             scale=1.0 / float(np.sqrt(hd)),
             valid_T=None if Tp == T else T, n_chunks=n_chunks,
-            save=save, save_y=save_y,
+            save=save, save_y=save_y, wgrad=wgrad,
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=(B // GB,),
         in_specs=in_specs,
-        out_specs=(blk, acc, acc, acc, acc),
+        out_specs=tuple(out_specs),
         interpret=_auto_interpret(interpret),
         compiler_params=compiler_params,
     )(x, dy, *operands, *extra)
+    dx, dg1, db1, dg2, db2 = res[:5]
     if Tp != T:
         dx = dx[:, :T]
-    return dx, dg1[0], db1[0], dg2[0], db2[0]
+    return (dx, dg1[0], db1[0], dg2[0], db2[0]) + tuple(res[5:])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -1308,6 +1380,87 @@ def fused_block_train(x, p, n_head: int):
     gb_b = max(1, int(os.environ.get("FMM_TPU_FUSED_GB_TRNB", "4")))
     vmem = int(os.environ.get("FMM_TPU_FUSED_VMEM", 100 << 20))
     return _fused_block_train(x, p, n_head, mode, gb_f, gb_b, vmem)
+
+
+# --------------------------------------------------------------------------
+# dW variant (round 5, second step): the same whole-block train kernel with
+# FULL weight gradients — for TRAINABLE blocks (vision ``resblocks.{last}``
+# under the MaPLe unfreeze policy, or any mask-free eligible block whose
+# trainability is unknown).  Exact cotangents for EVERYTHING: x, both LNs,
+# and all attention/MLP weights+biases, accumulated across grid steps as
+# grid-invariant fp32 outputs.  Residuals = (qkv, h) like "save" mode; the
+# attention forward is recomputed in the backward because dW_out needs the
+# concat head output.
+# --------------------------------------------------------------------------
+
+
+def fused_block_train_dw_enabled() -> bool:
+    """Gate for the dW whole-block train kernel on trainable blocks
+    (``FMM_TPU_FUSED_TRAIN_DW``).  Off until the hardware A/B lands."""
+    return os.environ.get("FMM_TPU_FUSED_TRAIN_DW", "0").lower() in (
+        "1", "on", "true",
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_block_train_dw(x, p, n_head: int, gb_f: int, gb_b: int,
+                          vmem: int):
+    out, _ = _fbt_fwd_save(
+        x, p, n_head=n_head, gb=gb_f, vmem_bytes=vmem,
+        save_y=False, interpret=None,
+    )
+    return out
+
+
+def _fbt_dw_fwd_rule(x, p, n_head, gb_f, gb_b, vmem):
+    out, res = _fbt_fwd_save(
+        x, p, n_head=n_head, gb=gb_f, vmem_bytes=vmem,
+        save_y=False, interpret=None,
+    )
+    return out, (x, p, res)
+
+
+def _fbt_dw_bwd_rule(n_head, gb_f, gb_b, vmem, residuals, dy):
+    x, p, res = residuals
+    (dx, dg1, db1, dg2, db2,
+     dwq, dbq, dwo, dbo, dwfc, dbfc, dwpr, dbpr) = _fbt_bwd(
+        x, dy, p, res, n_head=n_head, gb=gb_b, vmem_bytes=vmem,
+        save=True, save_y=False, wgrad=True, interpret=None,
+    )
+
+    def like(leaf, g):
+        return g.reshape(leaf.shape).astype(leaf.dtype)
+
+    dp = {
+        "ln_1": {"scale": like(p["ln_1"]["scale"], dg1),
+                 "bias": like(p["ln_1"]["bias"], db1)},
+        "ln_2": {"scale": like(p["ln_2"]["scale"], dg2),
+                 "bias": like(p["ln_2"]["bias"], db2)},
+        "attn": {"w_qkv": like(p["attn"]["w_qkv"], dwq),
+                 "b_qkv": like(p["attn"]["b_qkv"], dbq),
+                 "w_out": like(p["attn"]["w_out"], dwo),
+                 "b_out": like(p["attn"]["b_out"], dbo)},
+        "mlp": {"w_fc": like(p["mlp"]["w_fc"], dwfc),
+                "b_fc": like(p["mlp"]["b_fc"], dbfc),
+                "w_proj": like(p["mlp"]["w_proj"], dwpr),
+                "b_proj": like(p["mlp"]["b_proj"], dbpr)},
+    }
+    return dx, dp
+
+
+_fused_block_train_dw.defvjp(_fbt_dw_fwd_rule, _fbt_dw_bwd_rule)
+
+
+def fused_block_train_dw(x, p, n_head: int):
+    """Whole-block fused train kernel with FULL weight gradients (see the
+    section comment above).  Safe for any mask-free eligible block — it is
+    a drop-in autodiff replacement, not a frozen-W contract."""
+    gb_f = max(1, int(os.environ.get("FMM_TPU_FUSED_GB_TRN", "2")))
+    gb_b = max(1, int(os.environ.get(
+        "FMM_TPU_FUSED_GB_TRNB_DW",
+        os.environ.get("FMM_TPU_FUSED_GB_TRNB", "4"))))
+    vmem = int(os.environ.get("FMM_TPU_FUSED_VMEM", 100 << 20))
+    return _fused_block_train_dw(x, p, n_head, gb_f, gb_b, vmem)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -267,6 +267,24 @@ def residual_block(
             x = x + linear(a, p["attn"]["w_out"], p["attn"]["b_out"])
             x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
             return x
+    if (not inference and attn_mask is None
+            and _ATTENTION_IMPL == "pallas"):
+        from federated_multi_modal_tpu.ops.pallas.fused_block import (
+            fused_block_train_dw,
+            fused_block_train_dw_enabled,
+            fused_ln_attention_eligible,
+            fused_ln_mlp_eligible,
+        )
+
+        if fused_block_train_dw_enabled():
+            B, T, D = x.shape
+            hidden = p["mlp"]["w_fc"].shape[-1]
+            if (fused_ln_attention_eligible(B, T, D, n_head, attn_mask)
+                    and fused_ln_mlp_eligible(B, T, D, hidden)):
+                # TRAINABLE-block whole-block kernel: exact cotangents for
+                # every weight (a drop-in autodiff replacement) — covers
+                # vision resblocks.{last} under the MaPLe unfreeze policy
+                return fused_block_train_dw(x, p, n_head)
     x = x + multi_head_attention(layer_norm(x, p["ln_1"]), p["attn"], n_head, attn_mask)
     x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
     return x

@@ -550,12 +550,18 @@ def test_residual_block_inference_matches_xla(rng, T):
     )
 
 
-def test_residual_block_fused_path_matches_autodiff(rng):
+def test_residual_block_fused_path_matches_autodiff(rng, monkeypatch):
     """residual_block(attn_w_frozen=True) under the pallas impl computes the
-    same output and (x, ln_1, ln_2, mlp) grads as the plain XLA block."""
+    same output and (x, ln_1, ln_2, mlp) grads as the plain XLA block.
+
+    Pins the SUBLAYER fused path (exact MLP grads), so the whole-block
+    train kernel — whose contract zeroes the MLP cotangents too, tested in
+    test_fused_block_train_matches_autodiff — is gated off here."""
     import jax
 
     from federated_multi_modal_tpu.ops import primitives as P
+
+    monkeypatch.setenv("FMM_TPU_FUSED_TRAIN_BLOCK", "0")
 
     B, T, D, H = 4, 16, 128, 2
     x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
@@ -1095,3 +1101,149 @@ def test_maple_grads_fused_block_train_end_to_end(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), atol=1e-4, rtol=1e-3
         )
+
+
+def test_fused_block_train_under_vmap(rng, monkeypatch):
+    """The parallel federated step vmaps the whole train step over the
+    client axis (trainers/maple_fed.py::build_parallel_fed_step); the
+    whole-block train kernel must batch correctly under vmap for value AND
+    grad."""
+    import jax
+
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+
+    monkeypatch.setenv("FMM_TPU_FUSED_TRAIN_MODE", "save")
+    C, B, T, D, H = 3, 2, 16, 128, 2
+    x = jnp.asarray(rng.standard_normal((C, B, T, D)).astype(np.float32))
+    p = _rand_block(rng, D)
+    co = jnp.asarray(rng.standard_normal((C, B, T, D)).astype(np.float32))
+
+    def loss(x_c, co_c):
+        return jnp.sum(fused_block_train(x_c, p, H) * co_c)
+
+    def loss_ref(x_c, co_c):
+        return jnp.sum(P.residual_block(x_c, p, H, None) * co_c)
+
+    vals = jax.vmap(loss)(x, co)
+    grads = jax.vmap(jax.grad(loss))(x, co)
+    vals_r = jax.vmap(loss_ref)(x, co)
+    grads_r = jax.vmap(jax.grad(loss_ref))(x, co)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(vals_r), atol=2e-4, rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads), np.asarray(grads_r), atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize("T", [16, 13])
+def test_fused_block_train_dw_matches_autodiff(rng, T, monkeypatch):
+    """The dW variant's VJP matches autodiff through the unfused block for
+    EVERY cotangent: x, both LNs, and all attention/MLP weights+biases."""
+    import jax
+
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas.fused_block import (
+        fused_block_train_dw,
+    )
+
+    B, D, H = 4, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    p = _rand_block(rng, D)
+    co = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    out_f = fused_block_train_dw(x, p, H)
+    out_r = P.residual_block(x, p, H, None)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_r), atol=2e-5, rtol=2e-5)
+
+    gx_f, gp_f = jax.grad(
+        lambda x_, p_: jnp.sum(fused_block_train_dw(x_, p_, H) * co),
+        argnums=(0, 1),
+    )(x, p)
+    gx_r, gp_r = jax.grad(
+        lambda x_, p_: jnp.sum(P.residual_block(x_, p_, H, None) * co),
+        argnums=(0, 1),
+    )(x, p)
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_r), atol=5e-5, rtol=5e-5)
+    flat_f = jax.tree.leaves_with_path(gp_f)
+    flat_r = dict(jax.tree.leaves_with_path(gp_r))
+    assert len(flat_f) == 12  # 2 LN x2 + 4 attn + 4 mlp leaves
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[path]),
+            atol=1e-3, rtol=1e-4, err_msg=str(path))
+
+
+def test_maple_grads_both_fused_train_kernels_end_to_end(rng, monkeypatch):
+    """MaPLe loss + trainable grads with BOTH round-5 kernels routed:
+    frozen vision blocks through fused_block_train, the trainable last
+    block through the dW variant — equal to the XLA reference path.
+    The trainable tree includes the last block's attention/MLP weights, so
+    this checks the dW cotangents end-to-end."""
+    import jax
+
+    from federated_multi_modal_tpu.flagship import (
+        build_maple_program,
+        example_batch,
+    )
+    from federated_multi_modal_tpu.ops import primitives as P
+    from federated_multi_modal_tpu.ops.pallas import fused_block as FB
+
+    def to_fp32(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.inexact) else x,
+            tree,
+        )
+
+    batch = None
+
+    def grads_for(impl, policy, dw):
+        nonlocal batch
+        if dw:
+            monkeypatch.setenv("FMM_TPU_FUSED_TRAIN_DW", "1")
+        else:
+            monkeypatch.delenv("FMM_TPU_FUSED_TRAIN_DW", raising=False)
+        P.set_attention_impl(impl)
+        P.set_vision_attn_wgrad_blocks(policy)
+        try:
+            prog = build_maple_program(
+                backbone="Tiny", classnames=["cat", "dog", "bird"],
+                n_ctx=2, depth=2, use_captions=True, seed=0,
+            )
+            prog["trainable"] = to_fp32(prog["trainable"])
+            prog["frozen"] = to_fp32(prog["frozen"])
+            if batch is None:
+                batch = example_batch(prog["arch"], batch_size=4, n_cls=3)
+                batch["image"] = batch["image"].astype(jnp.float32)
+            loss, _ = prog["loss_fn"](prog["trainable"], prog["frozen"], batch)
+            g = jax.grad(
+                lambda t: prog["loss_fn"](t, prog["frozen"], batch)[0]
+            )(prog["trainable"])
+            return float(loss), g
+        finally:
+            P.set_attention_impl("xla")
+            P.set_vision_attn_wgrad_blocks(None)
+
+    calls = {"n": 0}
+    real = FB.fused_block_train_dw
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(FB, "fused_block_train_dw", counting)
+
+    loss_ref, g_ref = grads_for("xla", None, dw=False)
+    loss_fused, g_fused = grads_for("pallas", "last", dw=True)
+    assert calls["n"] >= 1  # the trainable last block routed through dW
+    assert abs(loss_ref - loss_fused) < 1e-5
+    for (path, a), r in zip(
+        jax.tree.leaves_with_path(g_fused), jax.tree.leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-3,
+            err_msg=str(path))
