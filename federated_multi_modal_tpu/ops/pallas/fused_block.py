@@ -829,6 +829,13 @@ def _fused_block_group_jit(x, blocks, prompts, extra, *, n_head: int,
 _TRAIN_MODES = ("save", "save-y", "recompute")
 
 
+def _flat2(t):
+    """(GB, Tp, K) -> (GB*Tp, K): Mosaic's matmul takes exactly one
+    contracting dim, so the dW reductions contract the merged row axis
+    (a layout-free row-major reshape)."""
+    return t.reshape(-1, t.shape[-1])
+
+
 def fused_block_train_enabled() -> bool:
     """Gate for the whole-block fused TRAIN kernel
     (``FMM_TPU_FUSED_TRAIN_BLOCK``).  ON by default: measured +5.95% e2e
@@ -875,11 +882,18 @@ def _train_operands(x, p):
     return operands, specs
 
 
-def _train_fwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save_y):
+def _train_fwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save_y,
+                      save_h=True):
     (x_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref, g2_ref, b2_ref,
      wfc_ref, bfc_ref, wpr_ref, bpr_ref) = refs[:13]
-    o_ref, qkv_ref, h_ref = refs[13:16]
-    y_ref = refs[16] if save_y else None
+    idx = 13
+    o_ref, qkv_ref = refs[idx:idx + 2]
+    idx += 2
+    h_ref = None
+    if save_h:
+        h_ref = refs[idx]
+        idx += 1
+    y_ref = refs[idx] if save_y else None
     D = x_ref.shape[-1]
     H = wfc_ref.shape[-1]
     hd = D // n_head
@@ -935,7 +949,8 @@ def _train_fwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save_y):
             xn2, wfc_ref[:, lo:lo + hc], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + bfc_ref[:, lo:lo + hc].astype(jnp.float32)
-        h_ref[:, :, lo:lo + hc] = h32.astype(h_ref.dtype)
+        if save_h:
+            h_ref[:, :, lo:lo + hc] = h32.astype(h_ref.dtype)
         g = (h32 * jax.nn.sigmoid(1.702 * h32)).astype(dtype)  # QuickGELU
         acc = acc + jax.lax.dot_general(
             g, wpr_ref[lo:lo + hc, :], (((2,), (0,)), ((), ())),
@@ -945,14 +960,17 @@ def _train_fwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save_y):
 
 
 def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y,
-                      wgrad=False):
+                      wgrad=False, save_h=True):
     (x_ref, dy_ref, w_ref, bq_ref, g1_ref, b1_ref, wo_ref, bo_ref,
      g2_ref, b2_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref) = refs[:14]
     idx = 14
     qkv_ref = h_ref = y_ref = None
     if save:
-        qkv_ref, h_ref = refs[idx:idx + 2]
-        idx += 2
+        qkv_ref = refs[idx]
+        idx += 1
+        if save_h:
+            h_ref = refs[idx]
+            idx += 1
     if save_y:
         y_ref = refs[idx]
         idx += 1
@@ -1048,12 +1066,12 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y,
 
     # ---- MLP backward (dxn2 always; dW_fc/dW_proj only in wgrad mode) ----
     xn2 = None
-    if not save or wgrad:
+    if not (save and save_h) or wgrad:
         xn2 = (xhat2 * g2 + b2_ref[...]).astype(dtype)
     dxn2 = jnp.zeros(x32.shape, jnp.float32)
     for c in range(n_chunks):
         lo = c * hc
-        if save:
+        if save and save_h:
             h32 = h_ref[:, :, lo:lo + hc].astype(jnp.float32)
         else:
             h32 = jax.lax.dot_general(
@@ -1075,13 +1093,13 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y,
             # dW_fc[:, c] = xn2^T dh_c ; dW_proj[c, :] = gelu(h_c)^T dout
             g_c = (h32 * sig).astype(dtype)
             dwfc_ref[:, lo:lo + hc] += jax.lax.dot_general(
-                xn2, dh_c, (((0, 1), (0, 1)), ((), ())),
+                _flat2(xn2), _flat2(dh_c), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dbfc_ref[:, lo:lo + hc] += jnp.sum(
                 dh_c.astype(jnp.float32), axis=(0, 1))[None]
             dwpr_ref[lo:lo + hc, :] += jax.lax.dot_general(
-                g_c, dout_c, (((0, 1), (0, 1)), ((), ())),
+                _flat2(g_c), _flat2(dout_c), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
     if wgrad:
@@ -1104,7 +1122,7 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y,
     if wgrad:
         # out-projection grads: dW_out = a^T dyh, db_out = sum(dyh)
         dwo_ref[...] += jax.lax.dot_general(
-            a, dyh_c, (((0, 1), (0, 1)), ((), ())),
+            _flat2(a), _flat2(dyh_c), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dbo_ref[...] += jnp.sum(dyh, axis=(0, 1))[None]
@@ -1155,7 +1173,7 @@ def _train_bwd_kernel(*refs, n_head, scale, valid_T, n_chunks, save, save_y,
         if wgrad:
             # dW_qkv head slices: xn1^T [dq | dk | dv]; biases: row sums
             dw_h = jax.lax.dot_general(
-                xn1, dqkv_h, (((0, 1), (0, 1)), ((), ())),
+                _flat2(xn1), _flat2(dqkv_h), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (D, 3*hd)
             db_h = jnp.sum(dqkv_h.astype(jnp.float32), axis=(0, 1))[None]
@@ -1179,11 +1197,14 @@ def _resolve_gb(B: int, knob: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "gb", "vmem_bytes",
-                                             "save_y", "interpret"))
+                                             "save_y", "save_h",
+                                             "interpret"))
 def _fbt_fwd_save(x, p, *, n_head: int, gb: int, vmem_bytes: int,
-                  save_y: bool, interpret):
-    """Forward with residual outputs: returns (out, qkv, h[, y]) — the
-    residual tensors stay T-padded so the backward consumes them as-is."""
+                  save_y: bool, interpret, save_h: bool = True):
+    """Forward with residual outputs: returns (out, qkv[, h][, y]) — the
+    residual tensors stay T-padded so the backward consumes them as-is.
+    ``save_h=False`` drops the pre-activation hidden residual (629 MB per
+    block at bench shapes); the backward recomputes it from xn2."""
     B, T, D = x.shape
     H = p["mlp"]["w_fc"].shape[-1]
     hd = D // n_head
@@ -1199,9 +1220,11 @@ def _fbt_fwd_save(x, p, *, n_head: int, gb: int, vmem_bytes: int,
     out_shapes = [
         jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
         jax.ShapeDtypeStruct((B, Tp, 3 * D), x.dtype),
-        jax.ShapeDtypeStruct((B, Tp, H), x.dtype),
     ]
-    out_specs = [blk, blk3, blkh]
+    out_specs = [blk, blk3]
+    if save_h:
+        out_shapes.append(jax.ShapeDtypeStruct((B, Tp, H), x.dtype))
+        out_specs.append(blkh)
     if save_y:
         out_shapes.append(jax.ShapeDtypeStruct((B, Tp, D), x.dtype))
         out_specs.append(blk)
@@ -1215,7 +1238,7 @@ def _fbt_fwd_save(x, p, *, n_head: int, gb: int, vmem_bytes: int,
             _train_fwd_kernel, n_head=n_head,
             scale=1.0 / float(np.sqrt(hd)),
             valid_T=None if Tp == T else T, n_chunks=n_chunks,
-            save_y=save_y,
+            save_y=save_y, save_h=save_h,
         ),
         out_shape=tuple(out_shapes),
         grid=(B // GB,),
@@ -1230,9 +1253,10 @@ def _fbt_fwd_save(x, p, *, n_head: int, gb: int, vmem_bytes: int,
 
 @functools.partial(jax.jit, static_argnames=("n_head", "gb", "vmem_bytes",
                                              "save", "save_y", "wgrad",
-                                             "interpret"))
+                                             "save_h", "interpret"))
 def _fbt_bwd(x, dy, p, residuals, *, n_head: int, gb: int, vmem_bytes: int,
-             save: bool, save_y: bool, interpret, wgrad: bool = False):
+             save: bool, save_y: bool, interpret, wgrad: bool = False,
+             save_h: bool = True):
     """(dx, dg1, db1, dg2, db2[, weight grads]) for the whole-block train
     kernel.  ``wgrad=True`` (the TRAINABLE-block variant) additionally
     accumulates every attention/MLP weight and bias gradient across grid
@@ -1252,13 +1276,13 @@ def _fbt_bwd(x, dy, p, residuals, *, n_head: int, gb: int, vmem_bytes: int,
     in_specs = [blk, blk] + specs
     extra = []
     if save:
-        extra += [residuals[0], residuals[1]]
-        in_specs += [
-            pl.BlockSpec((GB, Tp, 3 * D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((GB, Tp, H), lambda i: (i, 0, 0)),
-        ]
+        extra.append(residuals[0])
+        in_specs.append(pl.BlockSpec((GB, Tp, 3 * D), lambda i: (i, 0, 0)))
+        if save_h:
+            extra.append(residuals[1])
+            in_specs.append(pl.BlockSpec((GB, Tp, H), lambda i: (i, 0, 0)))
     if save_y:
-        extra.append(residuals[2])
+        extra.append(residuals[-1])
         in_specs.append(blk)
     acc = pl.BlockSpec((1, D), lambda i: (0, 0))
     out_shape = [
@@ -1285,7 +1309,7 @@ def _fbt_bwd(x, dy, p, residuals, *, n_head: int, gb: int, vmem_bytes: int,
             _train_bwd_kernel, n_head=n_head,
             scale=1.0 / float(np.sqrt(hd)),
             valid_T=None if Tp == T else T, n_chunks=n_chunks,
-            save=save, save_y=save_y, wgrad=wgrad,
+            save=save, save_y=save_y, wgrad=wgrad, save_h=save_h,
         ),
         out_shape=tuple(out_shape),
         grid=(B // GB,),
@@ -1396,36 +1420,39 @@ def fused_block_train(x, p, n_head: int):
 
 def fused_block_train_dw_enabled() -> bool:
     """Gate for the dW whole-block train kernel on trainable blocks
-    (``FMM_TPU_FUSED_TRAIN_DW``).  Off until the hardware A/B lands."""
-    return os.environ.get("FMM_TPU_FUSED_TRAIN_DW", "0").lower() in (
+    (``FMM_TPU_FUSED_TRAIN_DW``).  ON by default: measured 1402.7 ->
+    1423.8 img/s (+1.5% e2e) over the frozen-only round-5 default at
+    bwd GB=4 (same-session A/B, docs/BENCH.md); ``0`` is the escape
+    hatch / A-B baseline."""
+    return os.environ.get("FMM_TPU_FUSED_TRAIN_DW", "1").lower() in (
         "1", "on", "true",
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _fused_block_train_dw(x, p, n_head: int, gb_f: int, gb_b: int,
-                          vmem: int):
+                          vmem: int, save_h: bool):
     out, _ = _fbt_fwd_save(
         x, p, n_head=n_head, gb=gb_f, vmem_bytes=vmem,
-        save_y=False, interpret=None,
+        save_y=False, save_h=save_h, interpret=None,
     )
     return out
 
 
-def _fbt_dw_fwd_rule(x, p, n_head, gb_f, gb_b, vmem):
+def _fbt_dw_fwd_rule(x, p, n_head, gb_f, gb_b, vmem, save_h):
     out, res = _fbt_fwd_save(
         x, p, n_head=n_head, gb=gb_f, vmem_bytes=vmem,
-        save_y=False, interpret=None,
+        save_y=False, save_h=save_h, interpret=None,
     )
     return out, (x, p, res)
 
 
-def _fbt_dw_bwd_rule(n_head, gb_f, gb_b, vmem, residuals, dy):
+def _fbt_dw_bwd_rule(n_head, gb_f, gb_b, vmem, save_h, residuals, dy):
     x, p, res = residuals
     (dx, dg1, db1, dg2, db2,
      dwq, dbq, dwo, dbo, dwfc, dbfc, dwpr, dbpr) = _fbt_bwd(
         x, dy, p, res, n_head=n_head, gb=gb_b, vmem_bytes=vmem,
-        save=True, save_y=False, wgrad=True, interpret=None,
+        save=True, save_y=False, wgrad=True, save_h=save_h, interpret=None,
     )
 
     def like(leaf, g):
@@ -1454,13 +1481,23 @@ _fused_block_train_dw.defvjp(_fbt_dw_fwd_rule, _fbt_dw_bwd_rule)
 def fused_block_train_dw(x, p, n_head: int):
     """Whole-block fused train kernel with FULL weight gradients (see the
     section comment above).  Safe for any mask-free eligible block — it is
-    a drop-in autodiff replacement, not a frozen-W contract."""
+    a drop-in autodiff replacement, not a frozen-W contract.
+
+    ``FMM_TPU_FUSED_TRAIN_DW_SAVEH`` (default 0): the dW block does NOT
+    store the pre-activation hidden — the backward recomputes it from
+    xn2.  Rationale: with h stored, the composed program's HBM watermark
+    tips the SPMD fed step over 15.75 GB at bench shapes (measured
+    RESOURCE_EXHAUSTED); recomputing costs one extra fc matmul on the
+    single trainable block.  Set to 1 to store h when capacity allows."""
     gb_f = max(1, int(os.environ.get("FMM_TPU_FUSED_GB_TRN", "2")))
     gb_b = max(1, int(os.environ.get(
         "FMM_TPU_FUSED_GB_TRNB_DW",
         os.environ.get("FMM_TPU_FUSED_GB_TRNB", "4"))))
     vmem = int(os.environ.get("FMM_TPU_FUSED_VMEM", 100 << 20))
-    return _fused_block_train_dw(x, p, n_head, gb_f, gb_b, vmem)
+    save_h = os.environ.get("FMM_TPU_FUSED_TRAIN_DW_SAVEH", "0").lower() in (
+        "1", "on", "true",
+    )
+    return _fused_block_train_dw(x, p, n_head, gb_f, gb_b, vmem, save_h)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

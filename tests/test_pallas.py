@@ -1137,16 +1137,20 @@ def test_fused_block_train_under_vmap(rng, monkeypatch):
         np.asarray(grads), np.asarray(grads_r), atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.parametrize("save_h", ["0", "1"])
 @pytest.mark.parametrize("T", [16, 13])
-def test_fused_block_train_dw_matches_autodiff(rng, T, monkeypatch):
+def test_fused_block_train_dw_matches_autodiff(rng, T, save_h, monkeypatch):
     """The dW variant's VJP matches autodiff through the unfused block for
-    EVERY cotangent: x, both LNs, and all attention/MLP weights+biases."""
+    EVERY cotangent: x, both LNs, and all attention/MLP weights+biases —
+    in both the h-recompute (default) and h-stored residual modes."""
     import jax
 
     from federated_multi_modal_tpu.ops import primitives as P
     from federated_multi_modal_tpu.ops.pallas.fused_block import (
         fused_block_train_dw,
     )
+
+    monkeypatch.setenv("FMM_TPU_FUSED_TRAIN_DW_SAVEH", save_h)
 
     B, D, H = 4, 128, 2
     x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))

@@ -396,3 +396,77 @@ def test_mesh_shape_override():
     cfg.TPU.MESH_SHAPE = ()
     mesh = make_mesh_from_cfg(cfg, num_clients=2)  # automatic layout
     assert dict(mesh.shape)["client"] == 2
+
+
+def test_parallel_fed_step_pallas_kernels_match_xla():
+    """The SPMD parallel fed step (client vmap over the mesh) composed with
+    the round-5 fused TRAIN kernels (pallas impl, interpret mode on CPU)
+    matches the XLA-impl step: the kernels must batch correctly under
+    vmap + shard_map + grad + FedAvg."""
+    from federated_multi_modal_tpu.ops import primitives as prim
+
+    def to_fp32(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if x is not None and jnp.issubdtype(x.dtype, jnp.inexact) else x,
+            tree, is_leaf=lambda x: x is None,
+        )
+
+    C = 2
+    mesh = make_client_mesh(C)
+    tx = build_fed_optimizer(lr=0.05)
+
+    def shard(tree, spec):
+        return jax.tree_util.tree_map(
+            lambda x: None if x is None
+            else jax.device_put(x, NamedSharding(mesh, spec)),
+            tree, is_leaf=lambda x: x is None,
+        )
+
+    outs = {}
+    batches = None
+    for impl in ("xla", "pallas"):
+        prim.set_attention_impl(impl)
+        prim.set_vision_attn_wgrad_blocks("last")
+        try:
+            prog = build_maple_program(backbone="Tiny", depth=3,
+                                       use_captions=True, seed=0)
+            prog["trainable"] = to_fp32(prog["trainable"])
+            frozen = shard(to_fp32(prog["frozen"]), P())
+            if batches is None:
+                b0 = example_batch(prog["arch"], batch_size=4,
+                                   n_cls=prog["n_cls"], seed=0)
+                b1 = example_batch(prog["arch"], batch_size=4,
+                                   n_cls=prog["n_cls"], seed=1)
+                batches = (b0, b1)
+            b0, b1 = batches
+            batch = {
+                k: jax.device_put(
+                    jnp.stack([b0[k], b1[k]]).astype(jnp.float32)
+                    if jnp.issubdtype(b0[k].dtype, jnp.inexact)
+                    else jnp.stack([b0[k], b1[k]]),
+                    NamedSharding(mesh, P("client", "data")),
+                )
+                for k in b0
+            }
+            stacked = shard(stack_client_trees([prog["trainable"]] * C),
+                            P("client"))
+            opt = shard(stack_client_trees([tx.init(prog["trainable"])] * C),
+                        P("client"))
+            step = build_parallel_fed_step(prog["loss_fn"], tx, mesh)
+            s2, _, losses = step(stacked, frozen, opt, batch)
+            outs[impl] = (
+                jax.device_get(losses),
+                jax.device_get(jax.tree_util.tree_leaves(s2)),
+            )
+        finally:
+            prim.set_attention_impl("xla")
+            prim.set_vision_attn_wgrad_blocks(None)
+
+    np.testing.assert_allclose(outs["pallas"][0], outs["xla"][0],
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(outs["pallas"][1], outs["xla"][1]):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-3, atol=2e-5,
+        )
